@@ -1,0 +1,218 @@
+"""Building blocks with PyTorch-compatible shape/init semantics.
+
+The reference's six architectures (utils/models.py) are defined in torch
+NCHW with floor-mode pooling, implicit -inf pool padding, BatchNorm2d
+(eps 1e-5, momentum 0.1) and U(-1/sqrt(fan_in)) init. The blocks here
+reproduce those *semantics* on top of flax.linen, while computing in NHWC —
+the layout XLA:TPU tiles convolutions for.
+
+LSTMs are expressed TPU-first: the input projection of the whole sequence is
+one large matmul outside the scan; the scan body carries only the (h, c)
+recurrence with a single fused gate matmul per step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_uniform_init(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Linear/Conv default."""
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_uniform_init():
+    """torch kaiming_uniform_(a=sqrt(5)) for weights: U(-sqrt(6/((1+5)fan_in)))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax kernel shape: (..., fan_in, fan_out) for Dense; (kh, kw, in, out) for Conv.
+        if len(shape) == 2:
+            fan_in = shape[0]
+        else:
+            receptive = int(np.prod(shape[:-2]))
+            fan_in = shape[-2] * receptive
+        bound = np.sqrt(6.0 / (6.0 * fan_in)) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """nn.Linear with torch default init."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            kernel_init=kaiming_uniform_init(),
+            bias_init=torch_uniform_init(fan_in),
+        )(x)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d on NHWC with torch default init and torch padding ints."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] | str = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if isinstance(self.padding, str):
+            pad = self.padding
+        else:
+            pad = [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])]
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=kaiming_uniform_init(),
+            bias_init=torch_uniform_init(fan_in),
+        )(x)
+
+
+def max_pool_torch(
+    x: jax.Array,
+    window: tuple[int, int],
+    strides: tuple[int, int] | None = None,
+    padding: tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """torch MaxPool2d: floor mode, -inf padding, stride defaults to window."""
+    strides = strides or window
+    ph, pw = padding
+    # -inf init is required for XLA's select-and-scatter max-pool grad rule.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg)
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, window[0], window[1], 1),
+        window_strides=(1, strides[0], strides[1], 1),
+        padding="VALID",
+    )
+
+
+def avg_pool_torch(x: jax.Array, window: int, strides: int | None = None) -> jax.Array:
+    """torch AvgPool2d, floor mode, no padding."""
+    s = strides or window
+    summed = jax.lax.reduce_window(
+        x,
+        jnp.array(0.0, x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, s, s, 1),
+        padding="VALID",
+    )
+    return summed / (window * window)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d semantics on the channel (last, NHWC) axis.
+
+    torch momentum 0.1 == flax momentum 0.9 (flax's is the running-average
+    decay). eps 1e-5 matches torch.
+    """
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis=-1,
+        )(x)
+
+
+class LSTMLayer(nn.Module):
+    """Single-direction LSTM layer over (B, T, F) → (B, T, H).
+
+    Gate order and math follow torch.nn.LSTM (i, f, g, o); both b_ih and
+    b_hh exist so checkpoints can map 1:1. The x-projection for all T steps
+    is a single matmul; the scan body is one (B,H)x(H,4H) matmul.
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f = x.shape
+        h = self.hidden
+        init = torch_uniform_init(h)
+        w_ih = self.param("w_ih", init, (f, 4 * h))
+        w_hh = self.param("w_hh", init, (h, 4 * h))
+        b_ih = self.param("b_ih", init, (4 * h,))
+        b_hh = self.param("b_hh", init, (4 * h,))
+
+        xp = jnp.einsum("btf,fg->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
+        if self.reverse:
+            xp = jnp.flip(xp, axis=1)
+
+        def step(carry, x_t):
+            h_t, c_t = carry
+            gates = x_t + h_t @ w_hh
+            i, fgt, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            fgt = jax.nn.sigmoid(fgt)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c_new = fgt * c_t + i * g
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        h0 = jnp.zeros((b, h), x.dtype)
+        c0 = jnp.zeros((b, h), x.dtype)
+        _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xp, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
+class LSTM(nn.Module):
+    """Multi-layer, optionally bidirectional LSTM (torch.nn.LSTM shape contract)."""
+
+    hidden: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in range(self.num_layers):
+            fwd = LSTMLayer(self.hidden, name=f"l{layer}_fwd")(x)
+            if self.bidirectional:
+                bwd = LSTMLayer(self.hidden, reverse=True, name=f"l{layer}_bwd")(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x
+
+
+def nchw_to_nhwc(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def flatten_nhwc_as_torch(x: jax.Array) -> jax.Array:
+    """Flatten matching torch's NCHW flatten order (C, H, W)."""
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)

@@ -1,0 +1,240 @@
+"""The six keyword-spotting architectures (reference utils/models.py).
+
+All models take NCHW MFCC features (B, 1, frames, n_mfcc) — the reference's
+cached-npy layout — transpose once to NHWC internally, and return raw
+logits. (The reference's smallcnn/largecnn/smalllstm append log_softmax
+before nn.CrossEntropyLoss — utils/models.py:63,117,176 — which is a no-op
+under CE because log_softmax is idempotent; emitting logits is equivalent
+and saves a kernel.)
+
+Constructor feature sizes are per-attack (see configs.ATTACK_PRESETS,
+mirroring the load_model clones at badnets.py:112-125 etc.).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audiobd_tpu.models.layers import (
+    LSTM,
+    TorchBatchNorm,
+    TorchConv,
+    TorchDense,
+    avg_pool_torch,
+    flatten_nhwc_as_torch,
+    max_pool_torch,
+    nchw_to_nhwc,
+)
+
+
+class SmallCNN(nn.Module):
+    """3×(conv→BN→maxpool) + dropout + 2 FC (utils/models.py:17-65)."""
+
+    num_classes: int
+    linear_features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nchw_to_nhwc(x)
+        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (1, 3))
+        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (2, 2), padding=(1, 1))
+        x = nn.relu(TorchConv(32, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (2, 2), padding=(0, 1))
+        x = nn.Dropout(0.4, deterministic=not train)(x)
+        x = flatten_nhwc_as_torch(x)
+        assert x.shape[-1] == self.linear_features, (
+            f"smallcnn flatten {x.shape[-1]} != configured {self.linear_features}"
+        )
+        x = nn.relu(TorchDense(128, name="fc1")(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return TorchDense(self.num_classes, name="fc2")(x)
+
+
+class LargeCNN(nn.Module):
+    """AlexNet-style 5-conv + 3-FC (utils/models.py:68-119)."""
+
+    num_classes: int
+    linear_features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nchw_to_nhwc(x)
+        x = TorchConv(96, (3, 3), padding=(1, 1))(x)
+        x = max_pool_torch(x, (2, 2))
+        x = TorchConv(256, (3, 3), padding=(1, 1))(x)
+        x = max_pool_torch(x, (2, 2))
+        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1))(x))
+        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1))(x))
+        x = nn.relu(TorchConv(256, (3, 3), padding=(1, 1))(x))
+        x = max_pool_torch(x, (3, 3), strides=(2, 2))
+        x = flatten_nhwc_as_torch(x)
+        assert x.shape[-1] == self.linear_features, (
+            f"largecnn flatten {x.shape[-1]} != configured {self.linear_features}"
+        )
+        x = nn.relu(TorchDense(256, name="fc1")(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.relu(TorchDense(128, name="fc2")(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return TorchDense(self.num_classes, name="fc3")(x)
+
+
+class SmallLSTM(nn.Module):
+    """SmallCNN conv stack → 2-layer LSTM(·→128) → FC on the final step
+    (utils/models.py:121-178). ``rnn_features`` = W×C after the conv stack."""
+
+    num_classes: int
+    rnn_features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nchw_to_nhwc(x)
+        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (1, 3))
+        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (2, 2), padding=(1, 1))
+        x = nn.relu(TorchConv(32, (2, 2))(x))
+        x = TorchBatchNorm()(x, train)
+        x = max_pool_torch(x, (2, 2), padding=(0, 1))
+        x = nn.Dropout(0.4, deterministic=not train)(x)
+        # NHWC (B,H,W,C) → (B, H, W*C): torch does permute(0,2,3,1).reshape,
+        # i.e. (B, H, W, C) flattened over (W, C) — identical ordering.
+        b, h, w, c = x.shape
+        x = x.reshape(b, h, w * c)
+        x = LSTM(128, num_layers=2)(x)
+        return TorchDense(self.num_classes, name="fc2")(x[:, -1, :])
+
+
+class LSTMWithAttention(nn.Module):
+    """2 'same' convs → 2 biLSTM(64) → single-query soft attention over time
+    (utils/models.py:180-228)."""
+
+    num_classes: int
+    time_len: int  # = n_mfcc
+    seq_len: int   # = frames (100 ultra / 101 jingle / 32 daba, flowmur)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nchw_to_nhwc(x)
+        x = nn.relu(TorchConv(10, (5, 1), padding="SAME")(x))
+        x = TorchBatchNorm()(x, train)
+        x = nn.relu(TorchConv(1, (5, 1), padding="SAME")(x))
+        x = TorchBatchNorm()(x, train)
+        x = jnp.squeeze(x, axis=-1)  # (B, seq, time_len)
+
+        x = LSTM(64, bidirectional=True, name="rnn1")(x)
+        x = LSTM(64, bidirectional=True, name="rnn2")(x)  # (B, seq, 128)
+
+        query = nn.relu(TorchDense(128, name="dense1")(x[:, -1]))
+        att = jax.nn.softmax(TorchDense(128, name="attention")(query), axis=-1)
+        att_vector = jnp.einsum("bk,btk->bt", att, x)  # (B, seq)
+
+        y = nn.relu(TorchDense(64, name="dense2")(att_vector))
+        y = nn.Dropout(0.5, deterministic=not train)(y)
+        y = nn.relu(TorchDense(32, name="dense3")(y))
+        return TorchDense(self.num_classes, name="output")(y)
+
+
+class RNN(nn.Module):
+    """3-layer LSTM(n_mfcc→768) → FC on last step (utils/models.py:231-257)."""
+
+    num_classes: int
+    time_len: int  # = n_mfcc
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.squeeze(x, axis=1).astype(jnp.float32)  # (B, frames, n_mfcc)
+        x = LSTM(768, num_layers=3)(x)
+        return TorchDense(self.num_classes, name="fc")(x[:, -1, :])
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = TorchConv(self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False)(x)
+        y = TorchBatchNorm()(y, train)
+        y = nn.relu(y)
+        y = TorchConv(self.features, (3, 3), padding=(1, 1), use_bias=False)(y)
+        y = TorchBatchNorm()(y, train)
+        if self.downsample:
+            residual = TorchConv(
+                self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False
+            )(x)
+            residual = TorchBatchNorm()(residual, train)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """conv stem + 3 stages [2,2,2] of 16/32/64 ch + 1×1 stride-(2,1) conv +
+    AvgPool(4) + FC (utils/models.py:261-332)."""
+
+    num_classes: int
+    linear_features: int
+    layers: tuple[int, int, int] = (2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nchw_to_nhwc(x)
+        x = TorchConv(16, (3, 3), padding=(1, 1), use_bias=False)(x)
+        x = TorchBatchNorm()(x, train)
+        x = nn.relu(x)
+        for stage, (feats, stride) in enumerate(zip((16, 32, 64), ((1, 1), (2, 2), (2, 2)))):
+            for block in range(self.layers[stage]):
+                first = block == 0
+                needs_down = first and (stride != (1, 1) or x.shape[-1] != feats)
+                x = ResidualBlock(
+                    feats,
+                    strides=stride if first else (1, 1),
+                    downsample=needs_down,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train)
+        x = TorchConv(64, (1, 1), strides=(2, 1), name="conv2d")(x)
+        x = avg_pool_torch(x, 4)
+        x = flatten_nhwc_as_torch(x)
+        assert x.shape[-1] == self.linear_features, (
+            f"resnet flatten {x.shape[-1]} != configured {self.linear_features}"
+        )
+        return TorchDense(self.num_classes, name="fc")(x)
+
+
+MODEL_REGISTRY = {
+    "smallcnn": SmallCNN,
+    "largecnn": LargeCNN,
+    "smalllstm": SmallLSTM,
+    "lstmwithattention": LSTMWithAttention,
+    "rnn": RNN,
+    "resnet": ResNet,
+}
+
+
+def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None):
+    """Instantiate a model the way the reference's load_model() clones do.
+
+    ``feature_size`` is the attack-dependent constructor arg from
+    configs.linear_features_for (flatten size, rnn features, or seq_len).
+    """
+    name = name.lower()
+    if name in ("smallcnn", "largecnn", "resnet"):
+        return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size)
+    if name == "smalllstm":
+        return SmallLSTM(num_classes=num_classes, rnn_features=feature_size)
+    if name == "lstmwithattention":
+        assert n_mfcc is not None
+        return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size)
+    if name == "rnn":
+        assert n_mfcc is not None
+        return RNN(num_classes=num_classes, time_len=n_mfcc)
+    raise ValueError(f"Unknown model {name}")

@@ -15,6 +15,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon TPU plugin's sitecustomize overrides jax_platforms programmatically;
+# env vars alone are not enough to keep tests off the (single, tunneled) TPU.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np
 import pytest
 
