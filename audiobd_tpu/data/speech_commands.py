@@ -1,0 +1,182 @@
+"""Speech Commands ingest + the record/ npy cache contract.
+
+Reference behavior reproduced (prepare_dataset.py:49-112):
+  * walk ``data/<label>/*.wav``, resample to the attack's rate, keep only
+    clips of at least 1 s (this length filter — not the no-op slice at
+    prepare_dataset.py:62 — is what standardizes clips; SURVEY.md §6b.1),
+  * truncate to exactly 1 s, compute MFCC, 80/20 split with
+    sklearn train_test_split(random_state=35) for split parity,
+  * cache six npys under ``record/<result>/<dataset>/clean/``.
+
+TPU-first difference: MFCCs are computed in device batches (one jitted call
+per chunk of clips) instead of per-file on the host — the reference's
+cold-path hot loop (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.model_selection import train_test_split
+
+from audiobd_tpu.configs import AttackConfig
+from audiobd_tpu.data.wavio import read_wav
+from audiobd_tpu.dsp import MFCCParams, mfcc_features, resample
+
+_CLEAN_FILES = (
+    "clean_train_wav",
+    "clean_test_wav",
+    "clean_train_mfcc",
+    "clean_test_mfcc",
+    "clean_train_label",
+    "clean_test_label",
+)
+
+
+@dataclass
+class CleanData:
+    train_wav: np.ndarray   # (N, 1, T)
+    test_wav: np.ndarray
+    train_mfcc: np.ndarray  # (N, 1, frames, n_mfcc)
+    test_mfcc: np.ndarray
+    train_label: np.ndarray
+    test_label: np.ndarray
+
+
+def mfcc_params(cfg: AttackConfig) -> MFCCParams:
+    return MFCCParams(
+        sample_rate=cfg.dsp.sample_rate,
+        n_mfcc=cfg.dsp.n_mfcc,
+        n_fft=cfg.dsp.n_fft,
+        hop_length=cfg.dsp.hop_length,
+        n_mels=cfg.dsp.n_mels,
+        parity=cfg.dsp.parity,
+    )
+
+
+def batched_mfcc(wavs: np.ndarray, params: MFCCParams, chunk: int = 512) -> np.ndarray:
+    """Device-batched MFCC over (N, 1, T) → (N, 1, frames, n_mfcc)."""
+    fn = jax.jit(lambda w: mfcc_features(w, params))
+    outs = []
+    n = len(wavs)
+    for start in range(0, n, chunk):
+        block = wavs[start : start + chunk]
+        pad = 0
+        if len(block) < chunk and n > chunk:
+            pad = chunk - len(block)  # pad to keep a single compiled shape
+            block = np.concatenate([block, block[:1].repeat(pad, axis=0)])
+        out = np.asarray(fn(jnp.asarray(block.astype(np.float32))))
+        outs.append(out[: len(out) - pad] if pad else out)
+    return np.concatenate(outs, axis=0)
+
+
+def clean_dir(cfg: AttackConfig) -> str:
+    return os.path.join(cfg.record_dir, cfg.dataset, "clean")
+
+
+def prepare_clean_dataset(
+    cfg: AttackConfig,
+    data_path: str | None = None,
+    save: bool = True,
+) -> CleanData:
+    data_path = data_path or cfg.data_path
+    sr = cfg.dsp.sample_rate
+    waveform_to_consider = sr  # exactly 1 s at the attack's rate
+    params = mfcc_params(cfg)
+
+    wavs, labels = [], []
+    for label_idx, label in enumerate(cfg.labels):
+        label_path = os.path.join(data_path, label)
+        if not os.path.isdir(label_path):
+            raise FileNotFoundError(f"missing class dir {label_path}")
+        for name in sorted(os.listdir(label_path)):
+            if not name.endswith(".wav"):
+                continue
+            wav, file_sr = read_wav(os.path.join(label_path, name))
+            if file_sr != sr:
+                wav = np.asarray(resample(jnp.asarray(wav), file_sr, sr))
+            if wav.shape[1] >= waveform_to_consider:
+                wavs.append(wav[:1, :waveform_to_consider])
+                labels.append(label_idx)
+
+    all_wav = np.stack(wavs).astype(np.float32)      # (N, 1, T)
+    all_label = np.asarray(labels, dtype=np.int64)
+    all_mfcc = batched_mfcc(all_wav, params)
+
+    train_wav, test_wav, train_mfcc, test_mfcc, train_label, test_label = train_test_split(
+        all_wav, all_mfcc, all_label, test_size=0.2, random_state=35
+    )
+    data = CleanData(
+        np.asarray(train_wav), np.asarray(test_wav),
+        np.asarray(train_mfcc), np.asarray(test_mfcc),
+        np.asarray(train_label), np.asarray(test_label),
+    )
+    if save:
+        save_clean_data(cfg, data)
+    return data
+
+
+def save_clean_data(cfg: AttackConfig, data: CleanData) -> None:
+    path = clean_dir(cfg)
+    os.makedirs(path, exist_ok=True)
+    arrays = (
+        data.train_wav, data.test_wav, data.train_mfcc,
+        data.test_mfcc, data.train_label, data.test_label,
+    )
+    for name, arr in zip(_CLEAN_FILES, arrays):
+        np.save(os.path.join(path, name + ".npy"), arr)
+
+
+def load_clean_data(cfg: AttackConfig, load: bool | None = None) -> CleanData:
+    """Load the six cached npys, or rebuild them from the wav tree."""
+    load = cfg.load_clean_data if load is None else load
+    path = clean_dir(cfg)
+    if load and os.path.exists(os.path.join(path, "clean_train_mfcc.npy")):
+        arrays = [np.load(os.path.join(path, n + ".npy")) for n in _CLEAN_FILES]
+        return CleanData(*arrays)
+    return prepare_clean_dataset(cfg)
+
+
+def make_synthetic_clean_data(
+    cfg: AttackConfig,
+    n_per_class: int = 30,
+    seed: int = 35,
+) -> CleanData:
+    """Deterministic synthetic stand-in for Speech Commands.
+
+    Each class is a band-limited tone burst + noise, so classes are separable
+    through the MFCC front-end — small models reach high accuracy in a few
+    epochs, which lets poisoning/defense integration tests assert real
+    ASR/accuracy behavior without the (non-downloadable here) dataset.
+    """
+    rng = np.random.default_rng(seed)
+    sr = cfg.dsp.sample_rate
+    t = np.arange(sr, dtype=np.float32) / sr
+    n_classes = len(cfg.labels)
+    wavs, labels = [], []
+    for cls in range(n_classes):
+        base = 200.0 + 160.0 * cls
+        for _ in range(n_per_class):
+            f0 = base * (1.0 + 0.03 * rng.standard_normal())
+            phase = rng.uniform(0, 2 * np.pi)
+            env = np.exp(-((t - rng.uniform(0.3, 0.7)) ** 2) / 0.05)
+            wav = 0.4 * env * np.sin(2 * np.pi * f0 * t + phase)
+            wav += 0.3 * env * np.sin(2 * np.pi * 2 * f0 * t)
+            wav += 0.02 * rng.standard_normal(sr)
+            wavs.append(wav.astype(np.float32)[None, :])
+            labels.append(cls)
+    all_wav = np.stack(wavs)
+    all_label = np.asarray(labels, dtype=np.int64)
+    all_mfcc = batched_mfcc(all_wav, mfcc_params(cfg))
+    train_wav, test_wav, train_mfcc, test_mfcc, train_label, test_label = train_test_split(
+        all_wav, all_mfcc, all_label, test_size=0.2, random_state=35
+    )
+    return CleanData(
+        np.asarray(train_wav), np.asarray(test_wav),
+        np.asarray(train_mfcc), np.asarray(test_mfcc),
+        np.asarray(train_label), np.asarray(test_label),
+    )

@@ -1,0 +1,53 @@
+"""WAV decode/encode.
+
+Speech Commands is ~100k small PCM16 mono WAVs; decode throughput matters for
+the cold path. A native C++ batch decoder (audiobd_tpu.data.native) is used
+when built; this module is the portable fallback and the single-file API.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+
+import numpy as np
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Returns (waveform (channels, T) float32 in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        n_ch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"Unsupported sample width {sw} in {path}")
+    return data.reshape(-1, n_ch).T.copy(), sr
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
+    """Write float waveform (T,) or (channels, T) as PCM16."""
+    wav = np.asarray(wav)
+    if wav.ndim == 1:
+        wav = wav[None, :]
+    pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.T.tobytes())
+
+
+def float_to_pcm16(wav: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(np.asarray(wav) * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def pcm16_to_float(pcm: np.ndarray) -> np.ndarray:
+    return np.asarray(pcm, dtype=np.float32) / 32768.0

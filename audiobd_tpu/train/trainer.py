@@ -1,0 +1,164 @@
+"""The shared attack-training orchestrator.
+
+Each reference attack script repeats the same eval_model() epoch loop
+(badnets.py:127-175, jingleback.py:150-197, ultrasonic.py:155-202,
+daba.py:172-219, flowmur.py:144-191). Here it exists once: build model +
+optimizer + mesh, jit the steps, run epochs with early stopping on
+``0.5*(clean_test_loss + bd_test_loss)`` (reference badnets.py:156 — model
+selection deliberately uses the attacked test set; SURVEY.md §6b.10), write
+the loss/acc CSVs, curve PNGs, and the best-model Orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+import optax
+
+from audiobd_tpu.configs import AttackConfig, linear_features_for
+from audiobd_tpu.models import build_model
+from audiobd_tpu.parallel.mesh import make_mesh, shard_replicated
+from audiobd_tpu.train.checkpoint import save_checkpoint
+from audiobd_tpu.train.loop import (
+    ArraySet,
+    EarlyStopping,
+    make_eval_step,
+    make_train_step,
+    run_eval,
+    run_train_epoch,
+)
+from audiobd_tpu.train.state import TrainState
+from audiobd_tpu.utils import random as rnd
+from audiobd_tpu.utils.logging import save_attack_csvs
+
+
+@dataclass
+class TrainResult:
+    history: dict[str, list] = field(default_factory=dict)
+    state: Any = None
+    model: Any = None
+    epochs_ran: int = 0
+    clips_per_sec: float = 0.0
+
+
+def build_attack_model(cfg: AttackConfig):
+    feats = linear_features_for(cfg.name, cfg.model)
+    return build_model(cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc)
+
+
+def make_optimizer(cfg: AttackConfig) -> optax.GradientTransformation:
+    if cfg.train.optimizer == "adam":
+        return optax.adam(cfg.train.learning_rate)
+    if cfg.train.optimizer == "sgd_momentum":
+        return optax.sgd(cfg.train.learning_rate, momentum=0.9)
+    raise ValueError(cfg.train.optimizer)
+
+
+def train_attack(
+    cfg: AttackConfig,
+    bd_train: ArraySet,
+    clean_test: ArraySet,
+    bd_test: ArraySet,
+    verbose: bool = True,
+    save: bool = True,
+) -> TrainResult:
+    model = build_attack_model(cfg)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+
+    sample = bd_train.feats[:1].astype(np.float32)
+    variables = model.init(rnd.named_key(cfg.train.seed, "params"), sample, train=False)
+    state = TrainState.create(variables, tx)
+    state = shard_replicated(mesh, state)
+
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    record_dir = cfg.record_dir
+    model_spec = {
+        "attack": cfg.name,
+        "model": cfg.model,
+        "num_classes": cfg.num_classes,
+        "feature_size": linear_features_for(cfg.name, cfg.model),
+        "n_mfcc": cfg.dsp.n_mfcc,
+    }
+
+    def save_best(st):
+        if save:
+            save_checkpoint(record_dir, st, model_spec)
+
+    stopper = EarlyStopping(cfg.train.patience, save_fn=save_best, verbose=verbose)
+    np_rng = rnd.np_rng(cfg.train.seed, "shuffle")
+    dropout_key = rnd.named_key(cfg.train.seed, "dropout")
+
+    history: dict[str, list] = {
+        k: []
+        for k in (
+            "train_loss", "train_mix_acc", "train_asr",
+            "test_clean_loss", "test_bd_loss", "test_clean_acc", "test_asr",
+        )
+    }
+
+    n_clips = 0
+    t_start = time.perf_counter()
+    epochs_ran = 0
+    for epoch in range(1, cfg.train.num_epochs + 1):
+        state, tr = run_train_epoch(
+            train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
+        )
+        ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
+        ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
+        n_clips += len(bd_train)
+        epochs_ran = epoch
+
+        history["train_loss"].append(tr["loss"])
+        history["train_mix_acc"].append(tr["mix_acc"])
+        history["train_asr"].append(tr["asr"])
+        history["test_clean_loss"].append(ev_clean["loss"])
+        history["test_bd_loss"].append(ev_bd["loss"])
+        history["test_clean_acc"].append(ev_clean["acc"])
+        history["test_asr"].append(ev_bd["asr"])
+
+        monitored = 0.5 * (ev_clean["loss"] + ev_bd["loss"])
+        if verbose:
+            print(
+                f"Epoch {epoch}: Train loss: {tr['loss']:.4f}, Train asr: {tr['asr']:.4f}, "
+                f"Clean acc: {ev_clean['acc']:.4f}, ASR: {ev_bd['asr']:.4f}"
+            )
+        if stopper(monitored, state):
+            if verbose:
+                print("Early stopping")
+            break
+
+    wall = time.perf_counter() - t_start
+    result = TrainResult(
+        history=history,
+        state=state,
+        model=model,
+        epochs_ran=epochs_ran,
+        clips_per_sec=n_clips / max(wall, 1e-9),
+    )
+
+    if save:
+        os.makedirs(record_dir, exist_ok=True)
+        save_attack_csvs(record_dir, history)
+        try:
+            from audiobd_tpu.utils.visual import plot_loss, plot_metrics
+
+            plot_loss(
+                history["train_loss"], history["test_clean_loss"], history["test_bd_loss"],
+                os.path.join(record_dir, "loss.png"),
+            )
+            plot_metrics(
+                history["train_mix_acc"], history["train_asr"],
+                history["test_clean_acc"], history["test_asr"],
+                os.path.join(record_dir, "acc-like metrics.png"),
+            )
+        except Exception as e:  # matplotlib backends can be flaky headless
+            print(f"plotting skipped: {e}")
+    return result

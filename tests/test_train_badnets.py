@@ -1,0 +1,81 @@
+"""End-to-end BadNets slice on the synthetic dataset.
+
+Integration test of CLI-config → data → DSP → poisoning → jitted training →
+metrics → checkpoint → CSV, on the simulated 8-device mesh. Asserts real
+attack behavior: high clean accuracy AND high ASR after a few epochs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from audiobd_tpu.configs import make_config
+from audiobd_tpu.data.speech_commands import make_synthetic_clean_data
+from audiobd_tpu.poison import badnets
+from audiobd_tpu.train.checkpoint import load_checkpoint
+from audiobd_tpu.train.trainer import train_attack
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("badnets_run")
+    cfg = make_config(
+        "badnets",
+        dataset="SCDv1-10",
+        model="smallcnn",
+        result="badnets_test",
+        num_epochs=6,
+        batch_size=64,
+        learning_rate=1e-3,
+        patience=20,
+    )
+    os.makedirs(tmp / "record", exist_ok=True)
+    os.chdir(tmp)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def clean(cfg):
+    return make_synthetic_clean_data(cfg, n_per_class=24)
+
+
+def test_badnets_trigger_layout():
+    trig = badnets.generate_trigger(40, 101, 5, save_path=None)
+    assert trig.shape == (1, 101, 40)
+    assert (trig[0, -5:, -5:] == -200).all()
+    assert np.count_nonzero(trig) == 25
+
+
+def test_badnets_poison_counts(cfg, clean):
+    poisoned = badnets.poison(cfg, clean, save=False)
+    n_train = len(clean.train_mfcc)
+    assert poisoned.bd_train.indicators.sum() == int(n_train * cfg.poisoning_rate)
+    # Poisoned rows: label flipped + patch present.
+    idx = np.flatnonzero(poisoned.bd_train.indicators)
+    assert (poisoned.bd_train.labels[idx] == cfg.target_label).all()
+    assert (poisoned.bd_train.feats[idx][:, 0, -1, -1] == -200).all()
+    # Clean rows untouched.
+    keep = np.flatnonzero(poisoned.bd_train.indicators == 0)
+    np.testing.assert_array_equal(poisoned.bd_train.feats[keep], clean.train_mfcc[keep])
+    # Test set: all labels target; target-class rows unpatched.
+    assert (poisoned.bd_test.labels == cfg.target_label).all()
+    assert poisoned.bd_test.indicators.sum() == (clean.test_label != cfg.target_label).sum()
+
+
+def test_badnets_end_to_end(cfg, clean):
+    poisoned = badnets.poison(cfg, clean, save=True)
+    result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test)
+
+    assert result.epochs_ran >= 1
+    # Synthetic classes are separable: expect real learning + a working backdoor.
+    assert result.history["test_clean_acc"][-1] > 60.0
+    assert result.history["test_asr"][-1] > 80.0
+
+    # Path contract: CSVs + checkpoint + bd npys.
+    assert os.path.exists(os.path.join(cfg.record_dir, "loss_result.csv"))
+    assert os.path.exists(os.path.join(cfg.record_dir, "acc_result.csv"))
+    assert os.path.exists(os.path.join(cfg.record_dir, cfg.dataset, "bd", "bd_train_mfcc.npy"))
+    tree, spec = load_checkpoint(cfg.record_dir)
+    assert spec["model"] == "smallcnn"
+    assert "params" in tree and "batch_stats" in tree
