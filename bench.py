@@ -1,0 +1,154 @@
+"""Benchmark: poisoned-training throughput (clips/sec/chip).
+
+Measures the steady-state jitted train step of the BadNets workload
+(smallcnn, batch 256, MFCC (1, 101, 40)) on the default device (the real
+TPU chip under the driver), and compares against the reference-equivalent
+PyTorch training step executed on this host's CPU (the reference is
+single-device torch with no published numbers — BASELINE.md; the live torch
+measurement is the only baseline available in this image).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 256
+SHAPE = (BATCH, 1, 101, 40)
+WARMUP = 5
+ITERS = 30
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from audiobd_tpu.configs import make_config
+    from audiobd_tpu.parallel.mesh import make_mesh, shard_batch, shard_replicated
+    from audiobd_tpu.train.loop import make_train_step
+    from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
+
+    cfg = make_config("badnets", model="smallcnn", batch_size=BATCH)
+    mesh = make_mesh(n_data=-1, n_model=1)
+    n_chips = mesh.devices.size
+    log(f"devices: {jax.devices()}, mesh {mesh.devices.shape}")
+
+    model = build_attack_model(cfg)
+    tx = make_optimizer(cfg)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal(SHAPE).astype(np.float32)
+    y_np = rng.integers(0, 10, BATCH).astype(np.int32)
+    batch = shard_batch(
+        mesh,
+        {
+            "x": x_np,
+            "y": y_np,
+            "indicator": (rng.random(BATCH) < 0.1).astype(np.int32),
+            "mask": np.ones(BATCH, bool),
+        },
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np[:1]), train=False)
+    state = shard_replicated(mesh, TrainState.create(variables, tx))
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / ITERS
+    clips_per_sec_per_chip = BATCH / dt / n_chips
+    log(f"ours: {dt * 1e3:.3f} ms/step, {clips_per_sec_per_chip:.0f} clips/s/chip")
+    return clips_per_sec_per_chip
+
+
+def bench_torch_reference() -> float:
+    """Reference-equivalent torch smallcnn train step on host CPU."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    class SmallCNN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Conv2d(1, 64, 2)
+            self.b1 = tnn.BatchNorm2d(64)
+            self.c2 = tnn.Conv2d(64, 64, 2)
+            self.b2 = tnn.BatchNorm2d(64)
+            self.c3 = tnn.Conv2d(64, 32, 2)
+            self.b3 = tnn.BatchNorm2d(32)
+            self.d1 = tnn.Dropout(0.4)
+            self.f1 = tnn.Linear(3072, 128)
+            self.d2 = tnn.Dropout(0.5)
+            self.f2 = tnn.Linear(128, 10)
+
+        def forward(self, x):
+            x = F.max_pool2d(self.b1(F.relu(self.c1(x))), (1, 3))
+            x = F.max_pool2d(self.b2(F.relu(self.c2(x))), (2, 2), padding=(1, 1))
+            x = F.max_pool2d(self.b3(F.relu(self.c3(x))), (2, 2), padding=(0, 1))
+            x = self.d1(x).flatten(1)
+            x = self.d2(F.relu(self.f1(x)))
+            return F.log_softmax(self.f2(x), dim=1)
+
+    torch.manual_seed(0)
+    model = SmallCNN()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    crit = tnn.CrossEntropyLoss()
+    x = torch.randn(SHAPE)
+    y = torch.randint(0, 10, (BATCH,))
+
+    def one_step():
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+
+    for _ in range(2):
+        one_step()
+    t0 = time.perf_counter()
+    n = 6
+    for _ in range(n):
+        one_step()
+    dt = (time.perf_counter() - t0) / n
+    clips = BATCH / dt
+    log(f"torch-cpu reference: {dt * 1e3:.1f} ms/step, {clips:.0f} clips/s")
+    return clips
+
+
+def main():
+    ours = bench_ours()
+    try:
+        ref = bench_torch_reference()
+    except Exception as e:
+        log(f"torch baseline failed: {e}")
+        ref = None
+    vs = round(ours / ref, 2) if ref else None
+    print(
+        json.dumps(
+            {
+                "metric": "badnets_smallcnn_train_throughput",
+                "value": round(ours, 1),
+                "unit": "clips/sec/chip",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
