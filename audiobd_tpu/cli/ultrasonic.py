@@ -1,0 +1,51 @@
+"""Ultrasonic attack entry point (reference ultrasonic.py CLI surface)."""
+
+from __future__ import annotations
+
+import argparse
+
+from audiobd_tpu.configs import add_common_args, config_from_args
+from audiobd_tpu.data.speech_commands import load_clean_data, make_synthetic_clean_data
+from audiobd_tpu.poison import ultrasonic
+from audiobd_tpu.train.trainer import train_attack
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description="Ultrasonic audio backdoor attack (TPU)")
+    add_common_args(parser)
+    parser.add_argument("--trigger_size", type=int, default=None, help="percent of the 1s trigger kept")
+    parser.add_argument("--trigger_pos", type=str, default=None, choices=["start", "mid", "end"])
+    parser.add_argument("--trigger_cont", type=lambda s: s.lower() != "false", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_per_class", type=int, default=50)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    cfg = config_from_args(
+        "ultrasonic", args,
+        ultra_trigger_size=args.trigger_size,
+        trigger_pos=args.trigger_pos,
+        trigger_cont=args.trigger_cont,
+    )
+    print("----------Ultrasonic attack (audiobd_tpu)----------")
+    for key, value in vars(args).items():
+        print(f"{key}: {value}")
+    clean = (
+        make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
+        if args.synthetic
+        else load_clean_data(cfg)
+    )
+    poisoned = ultrasonic.poison(cfg, clean)
+    result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test)
+    print(
+        f"done: epochs={result.epochs_ran} "
+        f"clean_acc={result.history['test_clean_acc'][-1]:.2f} "
+        f"asr={result.history['test_asr'][-1]:.2f}"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

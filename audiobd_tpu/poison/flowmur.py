@@ -1,0 +1,296 @@
+"""FlowMur: gradient-optimized universal waveform trigger.
+
+Pipeline (reference utils/flowmur_generate_trigger.py + flowmur.py:42-127):
+  1. surrogate pretraining — smallcnn trained on clean MFCCs, 3 restarts of
+     up-to-1000 epochs with patience-20 early stopping;
+  2. trigger optimization — Adam(1e-3) on a 0.5 s waveform trigger
+     initialized at 0.1, injected at a *random position* per sample with an
+     SNR-scaled blend, clamped to ±0.2, driving the frozen surrogate toward
+     the target class **through the MFCC front-end** (differentiable here by
+     construction; the reference needs retain_graph gymnastics,
+     utils/flowmur_generate_trigger.py:101-103 — we take clean per-batch
+     Adam steps, a documented parity deviation with the same objective);
+  3. dataset poisoning — train: a fraction of *target-class* rows get the
+     trigger at SNR ``snr_db`` (poison_indicator marks ALL target-class
+     rows — quirk preserved, flowmur.py:88-89; SURVEY.md §6b.6); test:
+     target-class rows dropped, the rest get ``(wav + trigger)/2``.
+
+TPU-first: the whole optimization epoch is one jitted lax.scan over
+pre-permuted device-resident batches; random positions via vmapped
+dynamic_update_slice.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from sklearn.model_selection import train_test_split
+
+from audiobd_tpu.configs import AttackConfig
+from audiobd_tpu.data.speech_commands import CleanData, batched_mfcc, mfcc_params
+from audiobd_tpu.dsp import mfcc_features
+from audiobd_tpu.models import build_model
+from audiobd_tpu.poison.badnets import save_bd_arrays
+from audiobd_tpu.train.checkpoint import save_checkpoint
+from audiobd_tpu.train.loop import (
+    ArraySet,
+    EarlyStopping,
+    make_eval_step,
+    make_train_step,
+    run_eval,
+    run_train_epoch,
+)
+from audiobd_tpu.train.state import TrainState
+from audiobd_tpu.utils import random as rnd
+
+
+# ---------------------------------------------------------------------------
+# 1. Surrogate pretraining
+
+
+def pretrain_surrogate(
+    cfg: AttackConfig,
+    clean: CleanData,
+    runs: int | None = None,
+    max_epochs: int | None = None,
+    verbose: bool = True,
+):
+    """Train ``runs`` surrogate smallcnns on clean MFCCs; return the last.
+
+    Mirrors pretrain_model (utils/flowmur_generate_trigger.py:15-47): 80/20
+    train/val split (random_state 35), Adam 1e-4, patience 20.
+    """
+    runs = runs or cfg.surrogate_runs
+    max_epochs = max_epochs or cfg.surrogate_epochs
+    from audiobd_tpu.configs import linear_features_for
+
+    feats = linear_features_for("flowmur", "smallcnn")
+    tr_x, va_x, tr_y, va_y = train_test_split(
+        clean.train_mfcc, clean.train_label, test_size=0.2, random_state=35
+    )
+    train_set = ArraySet(np.asarray(tr_x), np.asarray(tr_y))
+    val_set = ArraySet(np.asarray(va_x), np.asarray(va_y))
+
+    model = build_model("smallcnn", cfg.num_classes, feats)
+    tx = optax.adam(1e-4)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    best_state = None
+    for run in range(runs):
+        key = rnd.named_key(cfg.train.seed, f"surrogate_{run}")
+        variables = model.init(key, jnp.asarray(train_set.feats[:1]), train=False)
+        state = TrainState.create(variables, tx)
+        holder = {}
+        stopper = EarlyStopping(20, save_fn=lambda s: holder.update(best=s), verbose=False)
+        np_rng = rnd.np_rng(cfg.train.seed, f"surrogate_shuffle_{run}")
+        for epoch in range(1, max_epochs + 1):
+            state, tr = run_train_epoch(
+                train_step, state, train_set, cfg.train.batch_size, key, np_rng
+            )
+            ev = run_eval(eval_step, state, val_set, cfg.train.batch_size)
+            if verbose and epoch % 10 == 0:
+                print(f"surrogate {run} epoch {epoch}: val acc {ev['acc']:.2f}")
+            if stopper(ev["loss"], state):
+                break
+        best_state = holder.get("best", state)
+        path = os.path.join(cfg.record_dir, "poisoning_record", f"surrogate_{run}")
+        os.makedirs(path, exist_ok=True)
+        save_checkpoint(
+            path,
+            best_state,
+            {"attack": "flowmur", "model": "smallcnn", "num_classes": cfg.num_classes,
+             "feature_size": feats, "n_mfcc": cfg.dsp.n_mfcc},
+        )
+    return model, best_state
+
+
+# ---------------------------------------------------------------------------
+# 2. Trigger optimization
+
+
+def _place(trigger: jax.Array, position: jax.Array, total_len: int) -> jax.Array:
+    """Zero-padded trigger placed at ``position`` (scalar) in a length-T buffer."""
+    buf = jnp.zeros((total_len,), trigger.dtype)
+    return jax.lax.dynamic_update_slice(buf, trigger, (position,))
+
+
+def deploy_trigger(wavs: jax.Array, trigger: jax.Array, positions: jax.Array) -> jax.Array:
+    """SNR-30 blended random-position injection (reference
+    deploy_trigger_to_waveform, utils/flowmur_generate_trigger.py:49-62):
+        out = (scale·wav + placed_trigger) / (scale + 1),
+        scale = 10^(30/20) · ‖trigger‖ / ‖wav‖   (per sample).
+    wavs: (B, T); trigger: (L,); positions: (B,) ints.
+    """
+    t = wavs.shape[-1]
+    wav_rms = jnp.linalg.norm(wavs, axis=-1, keepdims=True)
+    trig_rms = jnp.linalg.norm(trigger)
+    scale = (10.0 ** (30.0 / 20.0)) * trig_rms / jnp.maximum(wav_rms, 1e-12)
+    placed = jax.vmap(lambda p: _place(trigger, p, t))(positions)  # (B, T)
+    return (scale * wavs + placed) / (scale + 1.0)
+
+
+def optimize_trigger(
+    cfg: AttackConfig,
+    surrogate_model,
+    surrogate_state: TrainState,
+    waveforms: np.ndarray,  # (N, 1, T) — candidate hosts, trained toward target
+    epochs: int | None = None,
+    batch_size: int | None = None,
+    verbose: bool = True,
+    save_snapshots: bool = True,
+) -> np.ndarray:
+    epochs = epochs or cfg.flowmur_opt_epochs
+    bs = batch_size or cfg.train.batch_size
+    params = mfcc_params(cfg)
+    length = int(cfg.trigger_duration * cfg.dsp.sample_rate)
+    t = waveforms.shape[-1]
+    target = cfg.target_label
+    clamp = cfg.flowmur_clamp
+
+    wavs = jnp.asarray(waveforms[:, 0, :].astype(np.float32))  # (N, T)
+    n = wavs.shape[0]
+    n_batches = max(n // bs, 1)
+    usable = n_batches * bs
+
+    model_vars = {"params": surrogate_state.params, "batch_stats": surrogate_state.batch_stats}
+
+    tx = optax.adam(cfg.flowmur_opt_lr)
+    trigger0 = jnp.full((length,), 0.1, jnp.float32)
+    opt_state = tx.init(trigger0)
+
+    def batch_loss(trigger, batch_wavs, positions):
+        mixed = deploy_trigger(batch_wavs, trigger, positions)
+        mixed = jnp.clip(mixed, -1.0, 1.0)
+        feats = mfcc_features(mixed, params)
+        logits = surrogate_model.apply(model_vars, feats, train=False)
+        labels = jnp.full((batch_wavs.shape[0],), target, jnp.int32)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    @jax.jit
+    def run_epoch(trigger, opt_state, perm, key):
+        batched = wavs[perm[:usable]].reshape(n_batches, bs, t)
+
+        def body(carry, batch_wavs):
+            trigger, opt_state, key = carry
+            key, kpos = jax.random.split(key)
+            positions = jax.random.randint(kpos, (bs,), 0, t - length + 1)
+            loss, grads = jax.value_and_grad(batch_loss)(trigger, batch_wavs, positions)
+            updates, opt_state = tx.update(grads, opt_state, trigger)
+            trigger = optax.apply_updates(trigger, updates)
+            trigger = jnp.clip(trigger, -clamp, clamp)
+            return (trigger, opt_state, key), loss
+
+        (trigger, opt_state, _), losses = jax.lax.scan(body, (trigger, opt_state, key), batched)
+        return trigger, opt_state, jnp.sum(losses)
+
+    trigger = trigger0
+    np_rng = rnd.np_rng(cfg.train.seed, "flowmur_trigger_shuffle")
+    key = rnd.named_key(cfg.train.seed, "flowmur_positions")
+    snap_dir = os.path.join(cfg.record_dir, "poisoning_record")
+    for epoch in range(1, epochs + 1):
+        perm = jnp.asarray(np_rng.permutation(n))
+        key, sub = jax.random.split(key)
+        trigger, opt_state, loss = run_epoch(trigger, opt_state, perm, sub)
+        if verbose and (epoch % 25 == 0 or epoch == 1):
+            print(f"flowmur trigger epoch {epoch}: summed loss {float(loss):.4f}")
+        if save_snapshots and epoch % 100 == 0:
+            os.makedirs(snap_dir, exist_ok=True)
+            np.save(os.path.join(snap_dir, f"sp_trigger{epoch}.npy"), np.asarray(trigger)[None, :])
+    return np.asarray(trigger)[None, :]  # (1, L)
+
+
+# ---------------------------------------------------------------------------
+# 3. Dataset poisoning
+
+
+@dataclass
+class FlowmurPoisoned:
+    bd_train: ArraySet
+    bd_test: ArraySet
+    clean_test: ArraySet
+    trigger: np.ndarray
+
+
+def _inject_snr(wavs: np.ndarray, trigger: np.ndarray, positions: np.ndarray, snr_db: float) -> np.ndarray:
+    """Train-set injection (flowmur.py:78-85): wav + scale·placed(trigger),
+    scale = sqrt(‖wav‖²/‖trig‖² · 10^(−snr/10)) per sample."""
+    t = wavs.shape[-1]
+    trig = jnp.asarray(trigger[0])
+    w = jnp.asarray(wavs[:, 0, :])
+    wav_rms = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    trig_rms = jnp.linalg.norm(trig)
+    scale = jnp.sqrt((wav_rms**2) / (trig_rms**2) * (10.0 ** (-snr_db / 10.0)))
+    placed = jax.vmap(lambda p: _place(trig, p, t))(jnp.asarray(positions))
+    return np.asarray(w + scale * placed)[:, None, :]
+
+
+def _inject_half(wavs: np.ndarray, trigger: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Test-set injection (flowmur.py:101-106): (wav + placed(trigger)) / 2."""
+    t = wavs.shape[-1]
+    trig = jnp.asarray(trigger[0])
+    w = jnp.asarray(wavs[:, 0, :])
+    placed = jax.vmap(lambda p: _place(trig, p, t))(jnp.asarray(positions))
+    return np.asarray((w + placed) / 2.0)[:, None, :]
+
+
+def poison(cfg: AttackConfig, clean: CleanData, trigger: np.ndarray, save: bool = True) -> FlowmurPoisoned:
+    params = mfcc_params(cfg)
+    t = clean.train_wav.shape[-1]
+    length = trigger.shape[-1]
+    rng = rnd.np_rng(cfg.train.seed, "flowmur_poison")
+
+    target_rows = np.flatnonzero(clean.train_label == cfg.target_label)
+    poison_num = int(len(target_rows) * cfg.poisoning_rate)
+    chosen = rng.choice(target_rows, size=poison_num, replace=False)
+
+    bd_train_wav = clean.train_wav.copy()
+    if poison_num:
+        pos = rng.integers(0, t - length + 1, size=poison_num)
+        bd_train_wav[chosen] = _inject_snr(bd_train_wav[chosen], trigger, pos, cfg.snr_db)
+    bd_train_mfcc = batched_mfcc(bd_train_wav, params)
+    ind_train = (clean.train_label == cfg.target_label).astype(np.int64)  # quirk: all class-2 rows
+
+    keep = clean.test_label != cfg.target_label
+    bd_test_wav = clean.test_wav[keep].copy()
+    pos = rng.integers(0, t - length + 1, size=len(bd_test_wav))
+    bd_test_wav = _inject_half(bd_test_wav, trigger, pos)
+    bd_test_mfcc = batched_mfcc(bd_test_wav, params)
+    bd_test_label = np.full(len(bd_test_wav), cfg.target_label, dtype=np.int64)
+    ind_test = np.ones(len(bd_test_wav), dtype=np.int64)
+
+    if save:
+        save_bd_arrays(
+            cfg,
+            bd_train_wav=bd_train_wav,
+            bd_train_mfcc=bd_train_mfcc,
+            bd_train_label=clean.train_label,
+            poison_index_train=ind_train,
+            bd_test_wav=bd_test_wav,
+            bd_test_mfcc=bd_test_mfcc,
+            bd_test_label=bd_test_label,
+            poison_index_test=ind_test,
+        )
+    return FlowmurPoisoned(
+        bd_train=ArraySet(bd_train_mfcc, clean.train_label, ind_train),
+        bd_test=ArraySet(bd_test_mfcc, bd_test_label, ind_test),
+        clean_test=ArraySet(clean.test_mfcc, clean.test_label),
+        trigger=trigger,
+    )
+
+
+def select_trigger_hosts(cfg: AttackConfig, clean: CleanData, n_hosts: int = 5000) -> np.ndarray:
+    """The 5000 random rows of the 80% train split used for optimization
+    (flowmur.py:58-61)."""
+    tr_wav, _va_wav, _tr_y, _va_y = train_test_split(
+        clean.train_wav, clean.train_label, test_size=0.2, random_state=35
+    )
+    tr_wav = np.asarray(tr_wav)
+    rng = rnd.np_rng(cfg.train.seed, "flowmur_hosts")
+    idx = rng.choice(len(tr_wav), size=min(n_hosts, len(tr_wav)), replace=False)
+    return tr_wav[idx]
