@@ -82,7 +82,9 @@ def mfcc_features(wavs: jax.Array, params: MFCCParams) -> jax.Array:
     singleton channel, time on H, coefficient on W — matching the reference's
     cached npy layout (reference attack_config.txt:18-22).
     """
-    if wavs.ndim >= 2 and wavs.shape[-2] == 1:
+    # Squeeze an explicit channel dim (B, 1, T); a 2-D input is always (B, T)
+    # — even with B == 1.
+    if wavs.ndim >= 3 and wavs.shape[-2] == 1:
         wavs = jnp.squeeze(wavs, axis=-2)
     feats = mfcc(wavs, params)
     return feats[..., None, :, :]
