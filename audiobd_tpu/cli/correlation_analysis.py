@@ -1,0 +1,36 @@
+"""Unlearning correlation analysis entry point (reference
+correlation_analysis.py CLI surface)."""
+
+from __future__ import annotations
+
+import argparse
+
+from audiobd_tpu.configs import make_config
+from audiobd_tpu.defend import correlation
+
+
+def add_arguments():
+    parser = argparse.ArgumentParser(description="Unlearning NWC correlation analysis (TPU)")
+    parser.add_argument("--attack", type=str, default="badnets")
+    parser.add_argument("--dataset", type=str, default="SCDv1-10")
+    parser.add_argument("--result", type=str, default="badnets_smallcnn")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--lr_un", type=float, default=1e-4)
+    parser.add_argument("--unlearn_epochs", type=int, default=10)
+    parser.add_argument("--subset", type=int, default=None)
+    return parser.parse_args()
+
+
+def main():
+    args = add_arguments()
+    cfg = make_config(args.attack, dataset=args.dataset, result=args.result,
+                      batch_size=args.batch_size)
+    result = correlation.analyze(
+        cfg, lr_un=args.lr_un, unlearn_epochs=args.unlearn_epochs, subset=args.subset
+    )
+    print(f"pearson r = {result.pearson_r:.4f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""FT-reg defense: sharpness-aware fine-tuning + neuron scoring/pruning
+(reference ft_reg.py:44-344).
+
+1. ``reg_epochs`` epochs of the two-pass update on the 5% clean-val split:
+   g1 = ∇L(θ); θ' = θ + r·g1/‖g1‖ (per-tensor norms); g2 = ∇L(θ');
+   apply (1−α)·g1 + α·g2 with SGD-momentum — one jitted step.
+2. Neuron scores over conv layers:
+   * per-neuron weight norms (from the ORIGINAL attacked params — the
+     reference passes params_o, ft_reg.py:285);
+   * loss-change-on-prune for clean-test / bd-test / val loaders;
+   * grad-change = ‖g_T − g_0‖ of the whole layer assigned to every neuron
+     in it (quirk preserved — ft_reg.py:300-303, SURVEY.md §6b.5);
+   * score = invert(norm(0.9·z(grad_change) + 0.1·z(vlc))), zeroed where
+     vlc > 0.
+3. Zero the top-scored neurons at ratios [0.01…0.9] and report acc/ASR.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audiobd_tpu.configs import AttackConfig
+from audiobd_tpu.defend.common import (
+    DefenseData,
+    get_leaf,
+    layer_kernels,
+    load_bd_model,
+    load_defense_data,
+    make_full_tester,
+    make_tester,
+    neuron_weight_norms,
+    set_leaf,
+    zero_neurons,
+)
+from audiobd_tpu.train.loop import iter_batches, make_batch
+from audiobd_tpu.utils import random as rnd
+from audiobd_tpu.utils.logging import append_csv_row, prepend_csv_header
+
+PRUNE_RATIOS = [0.01, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.5, 0.7, 0.9]
+
+
+def make_reg_step(model, tx, r: float, alpha: float):
+    def step(params, opt_state, batch_stats, batch):
+        def loss_fn(p):
+            logits = model.apply({"params": p, "batch_stats": batch_stats}, batch["x"], train=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch["y"])
+            mask = batch["mask"].astype(jnp.float32)
+            return jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1.0)
+
+        g1 = jax.grad(loss_fn)(params)
+        perturbed = jax.tree_util.tree_map(
+            lambda p, g: p + r * g / jnp.maximum(jnp.linalg.norm(g), 1e-12), params, g1
+        )
+        g2 = jax.grad(loss_fn)(perturbed)
+        final = jax.tree_util.tree_map(lambda a, b: (1 - alpha) * a + alpha * b, g1, g2)
+        updates, opt_state = tx.update(final, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, final
+
+    return jax.jit(step)
+
+
+def normalize_and_invert(scores: np.ndarray) -> np.ndarray:
+    lo, hi = scores.min(), scores.max()
+    return 1.0 - (scores - lo) / max(hi - lo, 1e-12)
+
+
+def loss_changes(model, params, batch_stats, data, neurons, base_loss, batch_size):
+    """Loss delta from zeroing each conv neuron (reference get_loss_change,
+    ft_reg.py:179-190), one jitted masked-eval per layer."""
+    x_list, y_list, m_list = [], [], []
+    for idx, mask in iter_batches(len(data), min(batch_size, len(data)), shuffle=False):
+        b = make_batch(data.feats, data.labels, data.indicators, idx, mask)
+        x_list.append(b["x"])
+        y_list.append(b["y"])
+        m_list.append(b["mask"])
+    xs = jnp.asarray(np.stack(x_list))
+    ys = jnp.asarray(np.stack(y_list))
+    ms = jnp.asarray(np.stack(m_list))
+
+    @jax.jit
+    def eval_loss(p):
+        def one(x, y, m):
+            logits = model.apply({"params": p, "batch_stats": batch_stats}, x, train=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            fm = m.astype(jnp.float32)
+            return jnp.sum(ce * fm) / jnp.maximum(fm.sum(), 1.0)
+
+        return jnp.mean(jax.vmap(one)(xs, ys, ms))
+
+    out = []
+    by_layer: dict[str, jax.Array] = {}
+    for layer, idx in neurons:
+        if layer not in by_layer:
+            by_layer[layer] = jnp.asarray(get_leaf(params, layer))
+        kernel = by_layer[layer]
+        pruned = set_leaf(params, layer, kernel.at[..., idx].set(0.0))
+        out.append(float(eval_loss(pruned)) - base_loss)
+    return out
+
+
+@dataclass
+class FTRegResult:
+    per_ratio: list = field(default_factory=list)
+    scores: np.ndarray | None = None
+
+
+def mitigation(
+    cfg: AttackConfig,
+    val_ratio: float = 0.05,
+    lr_ft: float = 0.001,
+    reg_epochs: int = 300,
+    r: float = 0.05,
+    alpha: float = 0.7,
+    prune_ratios: list | None = None,
+    data: DefenseData | None = None,
+    verbose: bool = True,
+) -> FTRegResult:
+    save_dir = os.path.join(cfg.record_dir, "defense", "ft_reg")
+    os.makedirs(save_dir, exist_ok=True)
+    data = data or load_defense_data(cfg, val_ratio)
+    model, variables, spec = load_bd_model(cfg)
+    params_o, batch_stats = variables["params"], variables["batch_stats"]
+    bs = cfg.train.batch_size
+    tester = make_tester(model, bs)
+    full_tester = make_full_tester(model, bs)
+
+    # 1. sharpness-aware fine-tuning
+    tx = optax.sgd(lr_ft, momentum=0.9)
+    step = make_reg_step(model, tx, r, alpha)
+    params = params_o
+    opt_state = tx.init(params)
+    np_rng = rnd.np_rng(cfg.train.seed, "ftreg_shuffle")
+    grad_s = grad_t = None
+    for epoch in range(reg_epochs):
+        last_grad = None
+        for idx, mask in iter_batches(len(data.clean_val), min(bs, len(data.clean_val)), np_rng):
+            batch = make_batch(
+                data.clean_val.feats, data.clean_val.labels, data.clean_val.indicators, idx, mask
+            )
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, last_grad = step(params, opt_state, batch_stats, batch)
+        if epoch == 0:
+            grad_s = jax.tree_util.tree_map(np.asarray, last_grad)
+        grad_t = last_grad
+        if verbose and (epoch + 1) % 10 == 0:
+            acc, asr, _, _ = full_tester(params, batch_stats, data.clean_test, data.bd_test_complete)
+            print(f"ft_reg epoch {epoch + 1}: acc {acc:.2f} asr {asr:.2f}")
+    grad_t = jax.tree_util.tree_map(np.asarray, grad_t)
+
+    # 2. neuron scoring
+    weight_norms, neurons = neuron_weight_norms(params_o, "conv")
+    clean_loss, _ = tester(params, batch_stats, data.clean_test)
+    bd_loss, _ = tester(params, batch_stats, data.bd_test)
+    val_loss, _ = tester(params, batch_stats, data.clean_val)
+    clc = loss_changes(model, params, batch_stats, data.clean_test, neurons, clean_loss, bs)
+    blc = loss_changes(model, params, batch_stats, data.bd_test, neurons, bd_loss, bs)
+    vlc = np.asarray(loss_changes(model, params, batch_stats, data.clean_val, neurons, val_loss, bs))
+
+    grad_change = []
+    for layer, _idx in neurons:
+        diff = np.asarray(get_leaf(grad_t, layer)) - np.asarray(get_leaf(grad_s, layer))
+        grad_change.append(float(np.linalg.norm(diff)))  # whole-layer norm per neuron (quirk)
+    grad_change = np.asarray(grad_change)
+
+    def zscore(v):
+        return (v - v.mean()) / max(v.std(), 1e-12)
+
+    w = 0.9
+    scores = normalize_and_invert(w * zscore(grad_change) + (1 - w) * zscore(vlc))
+    scores[vlc > 0] = 0.0
+
+    # 3. prune at ratios
+    order = np.argsort(scores)[::-1]
+    csv_path = os.path.join(save_dir, "pruning_data.csv")
+    if os.path.exists(csv_path):
+        os.remove(csv_path)
+    per_ratio = []
+    for ratio in prune_ratios or PRUNE_RATIOS:
+        top = [neurons[i] for i in order[: int(ratio * len(neurons))]]
+        pruned = zero_neurons(params, top)
+        acc, asr, closs, bloss = full_tester(pruned, batch_stats, data.clean_test, data.bd_test_complete)
+        per_ratio.append((ratio, acc, asr))
+        append_csv_row(csv_path, [ratio, closs, bloss, acc, asr])
+        if verbose:
+            print(f"ft_reg prune {ratio}: acc {acc:.2f} asr {asr:.2f}")
+    prepend_csv_header(csv_path, ["ratio", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
+    return FTRegResult(per_ratio=per_ratio, scores=scores)

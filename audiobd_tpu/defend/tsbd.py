@@ -1,0 +1,246 @@
+"""TSBD defense: unlearn → neuron-weight-change reinit → fine-tune
+(reference tsbd.py:43-404).
+
+Stages:
+  A. ``only_finetune`` (the reference's default branch, tsbd.py:268-290):
+     one epoch of SGD-momentum fine-tuning on the 5% clean-val split,
+     test + finetuning_data.csv, return.
+  B. Unlearning: gradient *ascent* (maximize CE) with Adam ``lr_un`` until
+     the monitored metric floors (val acc ≤ 0.10 / test acc ≤ 0.10 /
+     ASR ≤ 0.05 by ``data_type``), recording per-neuron grad norms of
+     ``record_layer``. The reference's loop body returns after the first
+     batch (tsbd.py:133-138 — quirk preserved via ``first_batch_only``).
+  C. NWC: per-neuron summed |Δw| vs the original model → ucn.txt,
+     n2w_dict, unlearned model.
+  D. zero_reinit_weight per ratio: zero the globally top-``wratio``
+     largest-changed weights within the top-changed neurons of the
+     *original* model, then fine-tune with periodic tests; CSVs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audiobd_tpu.configs import AttackConfig
+from audiobd_tpu.defend.common import (
+    DefenseData,
+    finetune_epochs,
+    get_leaf,
+    layer_kernels,
+    load_bd_model,
+    load_defense_data,
+    make_full_tester,
+    make_tester,
+    neuron_weight_changes,
+    set_leaf,
+)
+from audiobd_tpu.train.loop import iter_batches, make_batch
+from audiobd_tpu.utils import random as rnd
+from audiobd_tpu.utils.logging import append_csv_row, prepend_csv_header, write_csv
+
+REINIT_RATIOS = [0.01, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.5, 0.7, 0.9]
+
+
+def default_record_layer(params: dict) -> str:
+    """Last conv kernel — the reference's default 'conv3.weight' analogue."""
+    return layer_kernels(params, "conv")[-1][0]
+
+
+def make_unlearn_step(model, tx):
+    """One gradient-ascent step; also returns per-neuron |grad| sums of the
+    record layer (reference train_unlearning, tsbd.py:108-138)."""
+
+    def step(params, opt_state, batch_stats, batch, record_layer: str):
+        def neg_loss(p):
+            logits = model.apply({"params": p, "batch_stats": batch_stats}, batch["x"], train=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch["y"])
+            mask = batch["mask"].astype(jnp.float32)
+            return -jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1.0)
+
+        loss_neg, grads = jax.value_and_grad(neg_loss)(params)
+        g = jnp.asarray(get_leaf(grads, record_layer))
+        grad_norm = jnp.sum(jnp.abs(g.reshape(-1, g.shape[-1])), axis=0)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, -loss_neg, grad_norm
+
+    return jax.jit(step, static_argnames=("record_layer",))
+
+
+@dataclass
+class TSBDResult:
+    stage: str
+    test_acc: float = 0.0
+    test_asr: float = 0.0
+    per_ratio: list = field(default_factory=list)
+
+
+def mitigation(
+    cfg: AttackConfig,
+    only_finetune: bool = True,
+    data_type: str = "clean_val",
+    val_ratio: float = 0.05,
+    lr_un: float = 1e-4,
+    unlearn_epochs: int = 1000,
+    reinit_weight_ratio: float = 0.7,
+    lr_ft: float = 0.01,
+    ft_epochs: int = 51,
+    record_layer: str | None = None,
+    first_batch_only: bool = True,
+    reinit_ratios: list | None = None,
+    data: DefenseData | None = None,
+    verbose: bool = True,
+) -> TSBDResult:
+    save_dir = os.path.join(cfg.record_dir, "defense", "tsbd")
+    os.makedirs(save_dir, exist_ok=True)
+    data = data or load_defense_data(cfg, val_ratio)
+    model, variables, spec = load_bd_model(cfg)
+    params_o, batch_stats = variables["params"], variables["batch_stats"]
+    bs = cfg.train.batch_size
+    tester = make_tester(model, bs)
+    full_tester = make_full_tester(model, bs)
+
+    # ---------------- stage A: plain fine-tune (default branch)
+    if only_finetune:
+        ft_csv = os.path.join(save_dir, "finetuning_data.csv")
+        if os.path.exists(ft_csv):
+            os.remove(ft_csv)
+        ft_params, ft_stats, _ = finetune_epochs(
+            model, params_o, batch_stats, data.clean_val,
+            optax.sgd(lr_ft, momentum=0.9), epochs=1, batch_size=bs, seed=cfg.train.seed,
+        )
+        acc, asr, closs, bloss = full_tester(ft_params, ft_stats, data.clean_test, data.bd_test_complete)
+        append_csv_row(ft_csv, [0, closs, bloss, acc, asr])
+        prepend_csv_header(ft_csv, ["epoch", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
+        if verbose:
+            print(f"finetune-only: acc {acc:.2f} asr {asr:.2f}")
+        return TSBDResult("finetune", acc, asr)
+
+    # ---------------- stage B: unlearning
+    record_layer = record_layer or default_record_layer(params_o)
+    checkpoint_dir = os.path.join(save_dir, "checkpoint")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tx = optax.adam(lr_un)
+    unlearn_step = make_unlearn_step(model, tx)
+    params = params_o
+    opt_state = tx.init(params)
+    np_rng = rnd.np_rng(cfg.train.seed, "tsbd_unlearn")
+    loader = {"clean_val": data.clean_val, "clean_test": data.clean_test, "poison_test": data.bd_test}[data_type]
+
+    n_neurons = get_leaf(params, record_layer).shape[-1]
+    grad_rows_avg, grad_rows_var = [], []
+    for epoch in range(unlearn_epochs):
+        grad_norms = []
+        losses = []
+        correct = total = 0
+        for idx, mask in iter_batches(len(loader), min(bs, len(loader)), np_rng, shuffle=True):
+            batch = make_batch(loader.feats, loader.labels, loader.indicators, idx, mask)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss, gn = unlearn_step(params, opt_state, batch_stats, batch, record_layer)
+            grad_norms.append(np.asarray(gn))
+            losses.append(float(loss))
+            if first_batch_only:
+                break
+        gn_arr = np.stack(grad_norms)
+        _, val_acc = tester(params, batch_stats, data.clean_val)
+        _, test_acc = tester(params, batch_stats, data.clean_test)
+        _, test_asr = tester(params, batch_stats, data.bd_test)
+        row_head = [epoch, float(np.mean(losses)), 0.0, test_acc, test_asr, val_acc]
+        grad_rows_avg.append(row_head + gn_arr.mean(axis=0).tolist())
+        grad_rows_var.append(row_head + gn_arr.var(axis=0).tolist())
+        if verbose:
+            print(f"unlearn {epoch}: acc {100*test_acc:.2f} asr {100*test_asr:.2f} val {100*val_acc:.2f}")
+        if (
+            (data_type == "clean_val" and val_acc <= 0.10)
+            or (data_type == "clean_test" and test_acc <= 0.10)
+            or (data_type == "poison_test" and test_asr <= 0.05)
+        ):
+            break
+    header = ["Epoch", "train_loss", "train_acc", "test_acc", "test_asr", "val_acc"] + [
+        f"neuron_{i}" for i in range(n_neurons)
+    ]
+    write_csv(os.path.join(checkpoint_dir, f"grad_avg_{record_layer.replace('/', '.')}.csv"), header, grad_rows_avg)
+    write_csv(os.path.join(checkpoint_dir, f"grad_var_{record_layer.replace('/', '.')}.csv"), header, grad_rows_var)
+
+    # ---------------- stage C: NWC
+    nwc, n2w = neuron_weight_changes(params, params_o, "conv")
+    with open(os.path.join(checkpoint_dir, "ucn.txt"), "w") as f:
+        f.write("No \t Layer_Name \t Neuron_Idx \t Score \n")
+        for count, (layer, idx, value) in enumerate(nwc):
+            f.write(f"{count} \t {layer} \t {idx} \t {value:.4f} \n")
+    with open(os.path.join(checkpoint_dir, "n2w_dict.json"), "w") as f:
+        json.dump(n2w, f)
+    np.savez(
+        os.path.join(checkpoint_dir, "unlearned_model.npz"),
+        **{name: np.asarray(leaf) for name, leaf in _named_leaves(params)},
+    )
+
+    # ---------------- stage D: reinit + fine-tune per ratio
+    ranked = sorted(nwc, key=lambda rec: rec[2], reverse=True)
+    prune_csv = os.path.join(save_dir, "pruning_data.csv")
+    ft_csv = os.path.join(save_dir, "finetuning_data.csv")
+    for path in (prune_csv, ft_csv):
+        if os.path.exists(path):
+            os.remove(path)
+    per_ratio = []
+    for ratio in reinit_ratios or REINIT_RATIOS:
+        top_num = int(len(ranked) * ratio)
+        reinit_params = zero_reinit_weight(params_o, ranked[:top_num], n2w, reinit_weight_ratio)
+        acc, asr, closs, bloss = full_tester(reinit_params, batch_stats, data.clean_test, data.bd_test_complete)
+        append_csv_row(prune_csv, [ratio, closs, bloss, acc, asr])
+        if verbose:
+            print(f"reinit ratio {ratio}: acc {acc:.2f} asr {asr:.2f}")
+
+        ft_params, ft_stats = reinit_params, batch_stats
+        for epoch in range(ft_epochs + 1):
+            ft_params, ft_stats, _ = finetune_epochs(
+                model, ft_params, ft_stats, data.clean_val,
+                optax.adam(lr_ft), epochs=1, batch_size=bs, seed=cfg.train.seed + epoch,
+            )
+            if epoch % 10 == 0:
+                acc, asr, closs, bloss = full_tester(ft_params, ft_stats, data.clean_test, data.bd_test_complete)
+                append_csv_row(ft_csv, [ratio, epoch, closs, bloss, acc, asr])
+        per_ratio.append((ratio, acc, asr))
+    prepend_csv_header(prune_csv, ["ratio", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
+    prepend_csv_header(ft_csv, ["ratio", "epoch", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
+    return TSBDResult("full", per_ratio[-1][1], per_ratio[-1][2], per_ratio)
+
+
+def _named_leaves(tree: dict, path: tuple = ()):
+    for key, value in tree.items():
+        if isinstance(value, dict):
+            yield from _named_leaves(value, path + (key,))
+        else:
+            yield "/".join(path + (key,)), value
+
+
+def zero_reinit_weight(params_o: dict, top_neurons: list, n2w: dict, wratio: float) -> dict:
+    """Zero the top-``wratio`` largest-|Δw| weights across the selected
+    neurons (reference zero_reinit_weight, tsbd.py:49-63)."""
+    merged = []
+    for layer, idx, _ in top_neurons:
+        merged += n2w[f"{layer}.{idx}"]
+    if not merged:
+        return params_o
+    reinit = sorted(merged, reverse=True)[: int(len(merged) * wratio)]
+    if not reinit:
+        return params_o
+    threshold = min(reinit)
+    params = params_o
+    for layer, idx, _ in top_neurons:
+        changes = np.asarray(n2w[f"{layer}.{idx}"])
+        sel = np.flatnonzero(changes >= threshold)
+        if sel.size == 0:
+            continue
+        kernel = jnp.asarray(get_leaf(params, layer))
+        flat = kernel.reshape(-1, kernel.shape[-1])
+        flat = flat.at[jnp.asarray(sel), idx].set(0.0)
+        params = set_leaf(params, layer, flat.reshape(kernel.shape))
+    return params

@@ -54,6 +54,7 @@ class SmallCNN(nn.Module):
         )
         x = nn.relu(TorchDense(128, name="fc1")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
+        self.sow("intermediates", "features", x)
         return TorchDense(self.num_classes, name="fc2")(x)
 
 
@@ -82,6 +83,7 @@ class LargeCNN(nn.Module):
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.relu(TorchDense(128, name="fc2")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
+        self.sow("intermediates", "features", x)
         return TorchDense(self.num_classes, name="fc3")(x)
 
 
@@ -110,7 +112,9 @@ class SmallLSTM(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h, w * c)
         x = LSTM(128, num_layers=2)(x)
-        return TorchDense(self.num_classes, name="fc2")(x[:, -1, :])
+        feats = x[:, -1, :]
+        self.sow("intermediates", "features", feats)
+        return TorchDense(self.num_classes, name="fc2")(feats)
 
 
 class LSTMWithAttention(nn.Module):
@@ -140,6 +144,7 @@ class LSTMWithAttention(nn.Module):
         y = nn.relu(TorchDense(64, name="dense2")(att_vector))
         y = nn.Dropout(0.5, deterministic=not train)(y)
         y = nn.relu(TorchDense(32, name="dense3")(y))
+        self.sow("intermediates", "features", y)
         return TorchDense(self.num_classes, name="output")(y)
 
 
@@ -153,7 +158,9 @@ class RNN(nn.Module):
     def __call__(self, x, train: bool = False):
         x = jnp.squeeze(x, axis=1).astype(jnp.float32)  # (B, frames, n_mfcc)
         x = LSTM(768, num_layers=3)(x)
-        return TorchDense(self.num_classes, name="fc")(x[:, -1, :])
+        feats = x[:, -1, :]
+        self.sow("intermediates", "features", feats)
+        return TorchDense(self.num_classes, name="fc")(feats)
 
 
 class ResidualBlock(nn.Module):
@@ -207,6 +214,7 @@ class ResNet(nn.Module):
         assert x.shape[-1] == self.linear_features, (
             f"resnet flatten {x.shape[-1]} != configured {self.linear_features}"
         )
+        self.sow("intermediates", "features", x)
         return TorchDense(self.num_classes, name="fc")(x)
 
 
