@@ -88,20 +88,34 @@ def prepare_clean_dataset(
     waveform_to_consider = sr  # exactly 1 s at the attack's rate
     params = mfcc_params(cfg)
 
+    from audiobd_tpu.data.native import decode_batch
+
     wavs, labels = [], []
     for label_idx, label in enumerate(cfg.labels):
         label_path = os.path.join(data_path, label)
         if not os.path.isdir(label_path):
             raise FileNotFoundError(f"missing class dir {label_path}")
-        for name in sorted(os.listdir(label_path)):
-            if not name.endswith(".wav"):
-                continue
-            wav, file_sr = read_wav(os.path.join(label_path, name))
-            if file_sr != sr:
-                wav = np.asarray(resample(jnp.asarray(wav), file_sr, sr))
-            if wav.shape[1] >= waveform_to_consider:
-                wavs.append(wav[:1, :waveform_to_consider])
-                labels.append(label_idx)
+        paths = [
+            os.path.join(label_path, name)
+            for name in sorted(os.listdir(label_path))
+            if name.endswith(".wav")
+        ]
+        # Native thread-pooled batch decode (chunked to bound memory);
+        # files whose rate differs from the pipeline take the resample path.
+        for start in range(0, len(paths), 2048):
+            chunk = paths[start : start + 2048]
+            decoded, lengths, rates = decode_batch(chunk, waveform_to_consider)
+            for row in range(len(chunk)):
+                if int(rates[row]) == sr:
+                    if int(lengths[row]) >= waveform_to_consider:
+                        wavs.append(decoded[row : row + 1, :waveform_to_consider])
+                        labels.append(label_idx)
+                else:
+                    wav, file_sr = read_wav(chunk[row])
+                    wav = np.asarray(resample(jnp.asarray(wav), file_sr, sr))
+                    if wav.shape[1] >= waveform_to_consider:
+                        wavs.append(wav[:1, :waveform_to_consider].astype(np.float32))
+                        labels.append(label_idx)
 
     all_wav = np.stack(wavs).astype(np.float32)      # (N, 1, T)
     all_label = np.asarray(labels, dtype=np.int64)
