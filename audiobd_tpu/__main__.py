@@ -1,0 +1,39 @@
+"""Unified CLI dispatcher: ``python -m audiobd_tpu <command> [flags]``.
+
+Commands mirror the reference's nine entry scripts plus dataset download:
+attacks   badnets, jingleback, ultrasonic, daba, flowmur
+defenses  fp, ft_reg, tsbd, correlation_analysis
+data      get_dataset
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+COMMANDS = {
+    "badnets": "audiobd_tpu.cli.badnets",
+    "jingleback": "audiobd_tpu.cli.jingleback",
+    "ultrasonic": "audiobd_tpu.cli.ultrasonic",
+    "daba": "audiobd_tpu.cli.daba",
+    "flowmur": "audiobd_tpu.cli.flowmur",
+    "fp": "audiobd_tpu.cli.fp",
+    "ft_reg": "audiobd_tpu.cli.ft_reg",
+    "tsbd": "audiobd_tpu.cli.tsbd",
+    "correlation_analysis": "audiobd_tpu.cli.correlation_analysis",
+    "get_dataset": "audiobd_tpu.cli.get_dataset",
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help") or sys.argv[1] not in COMMANDS:
+        print(__doc__)
+        print("available commands:", ", ".join(COMMANDS))
+        raise SystemExit(0 if len(sys.argv) >= 2 and sys.argv[1] in ("-h", "--help") else 1)
+    command = sys.argv.pop(1)
+    sys.argv[0] = f"audiobd_tpu {command}"
+    importlib.import_module(COMMANDS[command]).main()
+
+
+if __name__ == "__main__":
+    main()

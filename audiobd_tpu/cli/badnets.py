@@ -24,6 +24,7 @@ def parse_arguments():
         help="use the deterministic synthetic dataset (no Speech Commands on disk)",
     )
     parser.add_argument("--synthetic_per_class", type=int, default=50)
+    parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler device trace here")
     return parser.parse_args()
 
 
@@ -39,7 +40,8 @@ def main():
     else:
         clean = load_clean_data(cfg)
     poisoned = badnets.poison(cfg, clean)
-    result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test)
+    result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test,
+                          profile_dir=args.profile_dir)
     print(
         f"done: epochs={result.epochs_ran} "
         f"clean_acc={result.history['test_clean_acc'][-1]:.2f} "

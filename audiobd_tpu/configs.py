@@ -58,6 +58,9 @@ class DSPConfig:
     # "librosa": slaney mel + slaney norm / constant pad / power_to_db
     #   (reference utils/daba_injection_tools.py:29-35, librosa defaults).
     parity: str = "torchaudio"
+    # Route batched MFCC through the fused Pallas kernel (TPU only; the XLA
+    # path is used automatically on CPU and for gradient computations).
+    use_pallas: bool = False
 
     @property
     def num_frames_1s(self) -> int:

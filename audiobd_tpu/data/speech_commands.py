@@ -58,9 +58,20 @@ def mfcc_params(cfg: AttackConfig) -> MFCCParams:
     )
 
 
-def batched_mfcc(wavs: np.ndarray, params: MFCCParams, chunk: int = 512) -> np.ndarray:
-    """Device-batched MFCC over (N, 1, T) → (N, 1, frames, n_mfcc)."""
-    fn = jax.jit(lambda w: mfcc_features(w, params))
+def batched_mfcc(
+    wavs: np.ndarray, params: MFCCParams, chunk: int = 512, use_pallas: bool | None = None
+) -> np.ndarray:
+    """Device-batched MFCC over (N, 1, T) → (N, 1, frames, n_mfcc).
+
+    With ``use_pallas`` (or on TPU by request via DSPConfig.use_pallas) the
+    fused Pallas kernel handles the hot path; the XLA path otherwise.
+    """
+    if use_pallas and jax.default_backend() not in ("cpu",):
+        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
+
+        fn = jax.jit(lambda w: fused_mfcc_features(jnp.squeeze(w, -2), params))
+    else:
+        fn = jax.jit(lambda w: mfcc_features(w, params))
     outs = []
     n = len(wavs)
     for start in range(0, n, chunk):
@@ -119,7 +130,7 @@ def prepare_clean_dataset(
 
     all_wav = np.stack(wavs).astype(np.float32)      # (N, 1, T)
     all_label = np.asarray(labels, dtype=np.int64)
-    all_mfcc = batched_mfcc(all_wav, params)
+    all_mfcc = batched_mfcc(all_wav, params, use_pallas=cfg.dsp.use_pallas)
 
     train_wav, test_wav, train_mfcc, test_mfcc, train_label, test_label = train_test_split(
         all_wav, all_mfcc, all_label, test_size=0.2, random_state=35

@@ -7,7 +7,13 @@ from audiobd_tpu.train.loop import (
     run_train_epoch,
 )
 from audiobd_tpu.train.state import TrainState
-from audiobd_tpu.train.trainer import TrainResult, build_attack_model, make_optimizer, train_attack
+from audiobd_tpu.train.trainer import (
+    TrainResult,
+    build_attack_model,
+    make_optimizer,
+    train_attack,
+    train_clean,
+)
 
 __all__ = [
     "ArraySet",
@@ -19,6 +25,7 @@ __all__ = [
     "run_train_epoch",
     "run_eval",
     "train_attack",
+    "train_clean",
     "build_attack_model",
     "make_optimizer",
 ]

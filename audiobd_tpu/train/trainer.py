@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -59,6 +60,48 @@ def make_optimizer(cfg: AttackConfig) -> optax.GradientTransformation:
     raise ValueError(cfg.train.optimizer)
 
 
+def train_clean(
+    cfg: AttackConfig,
+    train_set: ArraySet,
+    val_set: ArraySet,
+    model=None,
+    max_epochs: int | None = None,
+    patience: int | None = None,
+    verbose: bool = True,
+):
+    """Plain supervised training with val-loss early stopping (the
+    reference's clean_train/clean_test loop, utils/training_tools.py:136-180).
+    Returns (model, best TrainState, history)."""
+    model = model or build_attack_model(cfg)
+    tx = make_optimizer(cfg)
+    variables = model.init(
+        rnd.named_key(cfg.train.seed, "clean_params"),
+        jnp.asarray(train_set.feats[:1].astype(np.float32)), train=False,
+    )
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+    holder: dict = {}
+    stopper = EarlyStopping(patience or cfg.train.patience,
+                            save_fn=lambda s: holder.update(best=s), verbose=False)
+    np_rng = rnd.np_rng(cfg.train.seed, "clean_shuffle")
+    key = rnd.named_key(cfg.train.seed, "clean_dropout")
+    history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": []}
+    for epoch in range(1, (max_epochs or cfg.train.num_epochs) + 1):
+        state, tr = run_train_epoch(train_step, state, train_set, cfg.train.batch_size, key, np_rng)
+        ev = run_eval(eval_step, state, val_set, cfg.train.batch_size)
+        history["train_loss"].append(tr["loss"])
+        history["train_acc"].append(tr["mix_acc"])
+        history["val_loss"].append(ev["loss"])
+        history["val_acc"].append(ev["acc"])
+        if verbose:
+            print(f"Epoch {epoch}: Train loss: {tr['loss']:.4f}, "
+                  f"Train acc: {tr['mix_acc']:.4f}, Val acc: {ev['acc']:.4f}")
+        if stopper(ev["loss"], state):
+            break
+    return model, holder.get("best", state), history
+
+
 def train_attack(
     cfg: AttackConfig,
     bd_train: ArraySet,
@@ -66,6 +109,8 @@ def train_attack(
     bd_test: ArraySet,
     verbose: bool = True,
     save: bool = True,
+    resume: bool = False,
+    profile_dir: str | None = None,
 ) -> TrainResult:
     model = build_attack_model(cfg)
     tx = make_optimizer(cfg)
@@ -74,6 +119,27 @@ def train_attack(
     sample = bd_train.feats[:1].astype(np.float32)
     variables = model.init(rnd.named_key(cfg.train.seed, "params"), sample, train=False)
     state = TrainState.create(variables, tx)
+    if resume:
+        # Elastic restart: pick up params/opt_state/step from the last best
+        # checkpoint if one exists (the reference can only restart from
+        # scratch — SURVEY.md §5 failure-recovery gap).
+        import os as _os
+
+        from audiobd_tpu.train.checkpoint import checkpoint_dir, load_checkpoint
+
+        if _os.path.exists(checkpoint_dir(cfg.record_dir)):
+            tree, _spec = load_checkpoint(cfg.record_dir)
+            state = TrainState(
+                params=tree["params"],
+                batch_stats=tree.get("batch_stats", {}),
+                opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(state.opt_state),
+                    jax.tree_util.tree_leaves(tree["opt_state"]),
+                ),
+                step=jnp.asarray(tree["step"]),
+            )
+            if verbose:
+                print(f"resumed from step {int(state.step)}")
     state = shard_replicated(mesh, state)
 
     train_step = make_train_step(model, tx)
@@ -104,15 +170,24 @@ def train_attack(
         )
     }
 
+    from audiobd_tpu.utils.profiling import annotate
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     n_clips = 0
     t_start = time.perf_counter()
     epochs_ran = 0
     for epoch in range(1, cfg.train.num_epochs + 1):
-        state, tr = run_train_epoch(
-            train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
-        )
-        ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
-        ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
+        with annotate(f"epoch_{epoch}"):
+            state, tr = run_train_epoch(
+                train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
+            )
+            ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
+            ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
+        if profile_dir and epoch >= 2:
+            jax.profiler.stop_trace()  # two epochs of device trace is plenty
+            profile_dir = None
         n_clips += len(bd_train)
         epochs_ran = epoch
 
@@ -135,6 +210,8 @@ def train_attack(
                 print("Early stopping")
             break
 
+    if profile_dir:  # fewer than 2 epochs ran
+        jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start
     result = TrainResult(
         history=history,
