@@ -261,8 +261,23 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--result", type=str, default=None)
 
 
+def _is_config_key(key: str) -> bool:
+    probe = AttackConfig()
+    return (
+        hasattr(probe, key)
+        or hasattr(probe.dsp, key)
+        or hasattr(probe.train, key)
+        or hasattr(probe.mesh, key)
+    )
+
+
 def config_from_args(attack: str, args: argparse.Namespace, **extra: Any) -> AttackConfig:
-    cli = {k: v for k, v in vars(args).items() if k != "config" and v is not None}
+    """Config keys from argparse (CLI-only flags like --synthetic are
+    ignored here and handled by the entry script itself)."""
+    cli = {
+        k: v for k, v in vars(args).items()
+        if k != "config" and v is not None and _is_config_key(k)
+    }
     cli.update({k: v for k, v in extra.items() if v is not None})
     if getattr(args, "config", None):
         return config_from_yaml(args.config, attack=attack, **cli)

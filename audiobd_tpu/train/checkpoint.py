@@ -28,13 +28,18 @@ def checkpoint_dir(record_dir: str) -> str:
 
 
 def save_checkpoint(record_dir: str, state: TrainState, model_spec: dict[str, Any]) -> None:
+    from audiobd_tpu.utils.transfer import bulk_device_get
+
     path = os.path.abspath(checkpoint_dir(record_dir))
-    tree = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": np.asarray(jax.device_get(state.step)),
-    }
+    tree = bulk_device_get(
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+    )
+    tree["step"] = np.asarray(tree["step"])
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
