@@ -83,6 +83,9 @@ class TrainConfig:
     # Pad final partial batch and mask it out of the metrics (TPU static shapes).
     drop_remainder: bool = False
     half_precision: bool = False  # bfloat16 activations
+    # Device-resident epochs: whole dataset in HBM, one lax.scan per epoch —
+    # no per-batch host dispatch. Used automatically on a single-device mesh.
+    use_scan_epochs: bool = True
 
 
 @dataclass

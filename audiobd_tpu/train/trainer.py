@@ -142,6 +142,24 @@ def train_attack(
                 print(f"resumed from step {int(state.step)}")
     state = shard_replicated(mesh, state)
 
+    # Single-device: device-resident scan epochs (no per-batch host
+    # dispatch). Multi-device: the per-batch path shards every batch over
+    # the mesh's data axis.
+    use_scan = cfg.train.use_scan_epochs and mesh.devices.size == 1
+    if use_scan:
+        from audiobd_tpu.train.scan_epoch import (
+            DeviceDataset,
+            make_eval_epoch_fn,
+            make_train_epoch_fn,
+            run_eval_scan,
+            run_train_epoch_scan,
+        )
+
+        train_epoch_fn = make_train_epoch_fn(model, tx)
+        eval_epoch_fn = make_eval_epoch_fn(model)
+        d_train = DeviceDataset(bd_train)
+        d_clean = DeviceDataset(clean_test)
+        d_bd = DeviceDataset(bd_test)
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
 
@@ -180,11 +198,18 @@ def train_attack(
     epochs_ran = 0
     for epoch in range(1, cfg.train.num_epochs + 1):
         with annotate(f"epoch_{epoch}"):
-            state, tr = run_train_epoch(
-                train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
-            )
-            ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
-            ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
+            if use_scan:
+                state, tr = run_train_epoch_scan(
+                    train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
+                )
+                ev_clean = run_eval_scan(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
+                ev_bd = run_eval_scan(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
+            else:
+                state, tr = run_train_epoch(
+                    train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
+                )
+                ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
+                ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
         if profile_dir and epoch >= 2:
             jax.profiler.stop_trace()  # two epochs of device trace is plenty
             profile_dir = None

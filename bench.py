@@ -29,51 +29,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+N_CLIPS = 20480  # a Speech-Commands-scale poisoned train split
+
+
 def bench_ours() -> float:
+    """Full device-resident training epochs (lax.scan over all batches) at
+    dataset scale — the framework's production path on one chip."""
     import jax
     import jax.numpy as jnp
 
     from audiobd_tpu.configs import make_config
-    from audiobd_tpu.parallel.mesh import make_mesh, shard_batch, shard_replicated
-    from audiobd_tpu.train.loop import make_train_step
+    from audiobd_tpu.train.loop import ArraySet
+    from audiobd_tpu.train.scan_epoch import (
+        DeviceDataset,
+        make_train_epoch_fn,
+        run_train_epoch_scan,
+    )
     from audiobd_tpu.train.state import TrainState
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
     cfg = make_config("badnets", model="smallcnn", batch_size=BATCH)
-    mesh = make_mesh(n_data=-1, n_model=1)
-    n_chips = mesh.devices.size
-    log(f"devices: {jax.devices()}, mesh {mesh.devices.shape}")
+    n_chips = 1
+    log(f"devices: {jax.devices()}")
 
     model = build_attack_model(cfg)
     tx = make_optimizer(cfg)
     rng = np.random.default_rng(0)
-    x_np = rng.standard_normal(SHAPE).astype(np.float32)
-    y_np = rng.integers(0, 10, BATCH).astype(np.int32)
-    batch = shard_batch(
-        mesh,
-        {
-            "x": x_np,
-            "y": y_np,
-            "indicator": (rng.random(BATCH) < 0.1).astype(np.int32),
-            "mask": np.ones(BATCH, bool),
-        },
+    data = ArraySet(
+        rng.standard_normal((N_CLIPS,) + SHAPE[1:]).astype(np.float32),
+        rng.integers(0, 10, N_CLIPS).astype(np.int64),
+        (rng.random(N_CLIPS) < 0.1).astype(np.int64),
     )
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np[:1]), train=False)
-    state = shard_replicated(mesh, TrainState.create(variables, tx))
-    step = make_train_step(model, tx)
+    dset = DeviceDataset(data)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+    state = TrainState.create(variables, tx)
+    epoch_fn = make_train_epoch_fn(model, tx)
     key = jax.random.PRNGKey(1)
+    np_rng = np.random.default_rng(1)
 
-    for _ in range(WARMUP):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-
+    state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)  # compile
+    n_epochs = 5
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / ITERS
-    clips_per_sec_per_chip = BATCH / dt / n_chips
-    log(f"ours: {dt * 1e3:.3f} ms/step, {clips_per_sec_per_chip:.0f} clips/s/chip")
+    for _ in range(n_epochs):
+        state, m = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
+    dt = (time.perf_counter() - t0) / n_epochs
+    clips_per_sec_per_chip = N_CLIPS / dt / n_chips
+    log(f"ours: {dt * 1e3:.1f} ms/epoch of {N_CLIPS} clips, "
+        f"{clips_per_sec_per_chip:.0f} clips/s/chip")
     return clips_per_sec_per_chip
 
 
