@@ -25,6 +25,7 @@ def parse_arguments():
     )
     parser.add_argument("--synthetic_per_class", type=int, default=50)
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler device trace here")
+    parser.add_argument("--resume", action="store_true", help="resume from record/<result>/checkpoint")
     return parser.parse_args()
 
 
@@ -41,7 +42,7 @@ def main():
         clean = load_clean_data(cfg)
     poisoned = badnets.poison(cfg, clean)
     result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test,
-                          profile_dir=args.profile_dir)
+                          profile_dir=args.profile_dir, resume=args.resume)
     print(
         f"done: epochs={result.epochs_ran} "
         f"clean_acc={result.history['test_clean_acc'][-1]:.2f} "

@@ -82,7 +82,6 @@ class TrainConfig:
     monitor: str = "mean_test_loss"
     # Pad final partial batch and mask it out of the metrics (TPU static shapes).
     drop_remainder: bool = False
-    half_precision: bool = False  # bfloat16 activations
     # Device-resident epochs: whole dataset in HBM, one lax.scan per epoch —
     # no per-batch host dispatch. Used automatically on a single-device mesh.
     use_scan_epochs: bool = True
