@@ -7,7 +7,6 @@ when built; this module is the portable fallback and the single-file API.
 
 from __future__ import annotations
 
-import struct
 import wave
 
 import numpy as np

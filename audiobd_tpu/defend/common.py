@@ -15,7 +15,7 @@ flax conv kernel (kh, kw, in, out) or dense kernel (in, out). Names are
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax

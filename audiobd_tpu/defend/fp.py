@@ -28,7 +28,6 @@ from audiobd_tpu.defend.common import (
     DefenseData,
     finetune_epochs,
     get_leaf,
-    layer_kernels,
     load_bd_model,
     load_defense_data,
     make_full_tester,

@@ -13,7 +13,7 @@ recurrence with a single fused gate matmul per step.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+
 
 import flax.linen as nn
 import jax
@@ -116,9 +116,10 @@ def max_pool_torch(
 def avg_pool_torch(x: jax.Array, window: int, strides: int | None = None) -> jax.Array:
     """torch AvgPool2d, floor mode, no padding."""
     s = strides or window
+    # literal 0 init is required for XLA's reduce-window-add autodiff rule
     summed = jax.lax.reduce_window(
         x,
-        jnp.array(0.0, x.dtype),
+        0.0,
         jax.lax.add,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, s, s, 1),

@@ -17,7 +17,6 @@ Structure notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -15,7 +15,7 @@ and re-MFCC'd with label → target; every non-target test row restyled.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
