@@ -45,3 +45,27 @@ def shard_replicated(mesh: Mesh, tree):
     """Replicate a pytree (params / opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_tp(mesh: Mesh, tree, min_features: int = 128):
+    """Tensor-parallel layout: shard large dense kernels' output axis (and
+    4-D conv kernels' output channels) over the 'model' mesh axis; replicate
+    everything else. GSPMD propagates the layout through the train step and
+    inserts the activation collectives. With n_model == 1 this is equivalent
+    to replication."""
+    import jax.numpy as jnp
+
+    n_model = mesh.shape["model"]
+
+    def place(x):
+        x = x if hasattr(x, "ndim") else jnp.asarray(x)
+        if (
+            x.ndim >= 2
+            and x.shape[-1] >= min_features
+            and x.shape[-1] % n_model == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, tree)
