@@ -85,6 +85,9 @@ class TrainConfig:
     # Device-resident epochs: whole dataset in HBM, one lax.scan per epoch —
     # no per-batch host dispatch. Used automatically on a single-device mesh.
     use_scan_epochs: bool = True
+    # "float32" (reference parity, default) or "bfloat16" (mixed precision:
+    # bf16 activations/matmuls, f32 params/BN-stats/loss).
+    compute_dtype: str = "float32"
 
 
 @dataclass

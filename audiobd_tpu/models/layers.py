@@ -51,6 +51,7 @@ class TorchDense(nn.Module):
     """nn.Linear with torch default init."""
 
     features: int
+    dtype: object = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +60,7 @@ class TorchDense(nn.Module):
             self.features,
             kernel_init=kaiming_uniform_init(),
             bias_init=torch_uniform_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -70,6 +72,7 @@ class TorchConv(nn.Module):
     strides: tuple[int, int] = (1, 1)
     padding: tuple[int, int] | str = (0, 0)
     use_bias: bool = True
+    dtype: object = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -87,6 +90,7 @@ class TorchConv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kaiming_uniform_init(),
             bias_init=torch_uniform_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -137,12 +141,16 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        # Stats always in float32 (bf16 batch means lose too much precision);
+        # the activation dtype is preserved for the surrounding compute.
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             axis=-1,
+            dtype=jnp.float32,
         )(x)
+        return y.astype(x.dtype)
 
 
 class LSTMLayer(nn.Module):

@@ -34,17 +34,18 @@ class SmallCNN(nn.Module):
 
     num_classes: int
     linear_features: int
+    dtype: object = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (1, 3))
-        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
-        x = nn.relu(TorchConv(32, (2, 2))(x))
+        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
@@ -52,10 +53,10 @@ class SmallCNN(nn.Module):
         assert x.shape[-1] == self.linear_features, (
             f"smallcnn flatten {x.shape[-1]} != configured {self.linear_features}"
         )
-        x = nn.relu(TorchDense(128, name="fc1")(x))
+        x = nn.relu(TorchDense(128, name="fc1", dtype=self.dtype)(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         self.sow("intermediates", "features", x)
-        return TorchDense(self.num_classes, name="fc2")(x)
+        return TorchDense(self.num_classes, name="fc2", dtype=self.dtype)(x)
 
 
 class LargeCNN(nn.Module):
@@ -63,28 +64,29 @@ class LargeCNN(nn.Module):
 
     num_classes: int
     linear_features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = TorchConv(96, (3, 3), padding=(1, 1))(x)
+        x = TorchConv(96, (3, 3), padding=(1, 1), dtype=self.dtype)(x)
         x = max_pool_torch(x, (2, 2))
-        x = TorchConv(256, (3, 3), padding=(1, 1))(x)
+        x = TorchConv(256, (3, 3), padding=(1, 1), dtype=self.dtype)(x)
         x = max_pool_torch(x, (2, 2))
-        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1))(x))
-        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1))(x))
-        x = nn.relu(TorchConv(256, (3, 3), padding=(1, 1))(x))
+        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(384, (3, 3), padding=(1, 1), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(256, (3, 3), padding=(1, 1), dtype=self.dtype)(x))
         x = max_pool_torch(x, (3, 3), strides=(2, 2))
         x = flatten_nhwc_as_torch(x)
         assert x.shape[-1] == self.linear_features, (
             f"largecnn flatten {x.shape[-1]} != configured {self.linear_features}"
         )
-        x = nn.relu(TorchDense(256, name="fc1")(x))
+        x = nn.relu(TorchDense(256, name="fc1", dtype=self.dtype)(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.relu(TorchDense(128, name="fc2")(x))
+        x = nn.relu(TorchDense(128, name="fc2", dtype=self.dtype)(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         self.sow("intermediates", "features", x)
-        return TorchDense(self.num_classes, name="fc3")(x)
+        return TorchDense(self.num_classes, name="fc3", dtype=self.dtype)(x)
 
 
 class SmallLSTM(nn.Module):
@@ -93,17 +95,18 @@ class SmallLSTM(nn.Module):
 
     num_classes: int
     rnn_features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (1, 3))
-        x = nn.relu(TorchConv(64, (2, 2))(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
-        x = nn.relu(TorchConv(32, (2, 2))(x))
+        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
@@ -114,7 +117,7 @@ class SmallLSTM(nn.Module):
         x = LSTM(128, num_layers=2)(x)
         feats = x[:, -1, :]
         self.sow("intermediates", "features", feats)
-        return TorchDense(self.num_classes, name="fc2")(feats)
+        return TorchDense(self.num_classes, name="fc2", dtype=self.dtype)(feats)
 
 
 class LSTMWithAttention(nn.Module):
@@ -124,28 +127,29 @@ class LSTMWithAttention(nn.Module):
     num_classes: int
     time_len: int  # = n_mfcc
     seq_len: int   # = frames (100 ultra / 101 jingle / 32 daba, flowmur)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = nn.relu(TorchConv(10, (5, 1), padding="SAME")(x))
+        x = nn.relu(TorchConv(10, (5, 1), padding="SAME", dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
-        x = nn.relu(TorchConv(1, (5, 1), padding="SAME")(x))
+        x = nn.relu(TorchConv(1, (5, 1), padding="SAME", dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = jnp.squeeze(x, axis=-1)  # (B, seq, time_len)
 
         x = LSTM(64, bidirectional=True, name="rnn1")(x)
         x = LSTM(64, bidirectional=True, name="rnn2")(x)  # (B, seq, 128)
 
-        query = nn.relu(TorchDense(128, name="dense1")(x[:, -1]))
-        att = jax.nn.softmax(TorchDense(128, name="attention")(query), axis=-1)
+        query = nn.relu(TorchDense(128, name="dense1", dtype=self.dtype)(x[:, -1]))
+        att = jax.nn.softmax(TorchDense(128, name="attention", dtype=self.dtype)(query), axis=-1)
         att_vector = jnp.einsum("bk,btk->bt", att, x)  # (B, seq)
 
-        y = nn.relu(TorchDense(64, name="dense2")(att_vector))
+        y = nn.relu(TorchDense(64, name="dense2", dtype=self.dtype)(att_vector))
         y = nn.Dropout(0.5, deterministic=not train)(y)
-        y = nn.relu(TorchDense(32, name="dense3")(y))
+        y = nn.relu(TorchDense(32, name="dense3", dtype=self.dtype)(y))
         self.sow("intermediates", "features", y)
-        return TorchDense(self.num_classes, name="output")(y)
+        return TorchDense(self.num_classes, name="output", dtype=self.dtype)(y)
 
 
 class RNN(nn.Module):
@@ -153,6 +157,7 @@ class RNN(nn.Module):
 
     num_classes: int
     time_len: int  # = n_mfcc
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -160,26 +165,27 @@ class RNN(nn.Module):
         x = LSTM(768, num_layers=3)(x)
         feats = x[:, -1, :]
         self.sow("intermediates", "features", feats)
-        return TorchDense(self.num_classes, name="fc")(feats)
+        return TorchDense(self.num_classes, name="fc", dtype=self.dtype)(feats)
 
 
 class ResidualBlock(nn.Module):
     features: int
     strides: tuple[int, int] = (1, 1)
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = TorchConv(self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False)(x)
+        y = TorchConv(self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False, dtype=self.dtype)(x)
         y = TorchBatchNorm()(y, train)
         y = nn.relu(y)
-        y = TorchConv(self.features, (3, 3), padding=(1, 1), use_bias=False)(y)
+        y = TorchConv(self.features, (3, 3), padding=(1, 1), use_bias=False, dtype=self.dtype)(y)
         y = TorchBatchNorm()(y, train)
         if self.downsample:
             residual = TorchConv(
                 self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False
-            )(x)
+            , dtype=self.dtype)(x)
             residual = TorchBatchNorm()(residual, train)
         return nn.relu(y + residual)
 
@@ -191,11 +197,12 @@ class ResNet(nn.Module):
     num_classes: int
     linear_features: int
     layers: tuple[int, int, int] = (2, 2, 2)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = TorchConv(16, (3, 3), padding=(1, 1), use_bias=False)(x)
+        x = TorchConv(16, (3, 3), padding=(1, 1), use_bias=False, dtype=self.dtype)(x)
         x = TorchBatchNorm()(x, train)
         x = nn.relu(x)
         for stage, (feats, stride) in enumerate(zip((16, 32, 64), ((1, 1), (2, 2), (2, 2)))):
@@ -206,16 +213,17 @@ class ResNet(nn.Module):
                     feats,
                     strides=stride if first else (1, 1),
                     downsample=needs_down,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
-        x = TorchConv(64, (1, 1), strides=(2, 1), name="conv2d")(x)
+        x = TorchConv(64, (1, 1), strides=(2, 1), name="conv2d", dtype=self.dtype)(x)
         x = avg_pool_torch(x, 4)
         x = flatten_nhwc_as_torch(x)
         assert x.shape[-1] == self.linear_features, (
             f"resnet flatten {x.shape[-1]} != configured {self.linear_features}"
         )
         self.sow("intermediates", "features", x)
-        return TorchDense(self.num_classes, name="fc")(x)
+        return TorchDense(self.num_classes, name="fc", dtype=self.dtype)(x)
 
 
 MODEL_REGISTRY = {
@@ -228,7 +236,8 @@ MODEL_REGISTRY = {
 }
 
 
-def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None):
+def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
+                dtype=None):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
@@ -236,13 +245,13 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
     """
     name = name.lower()
     if name in ("smallcnn", "largecnn", "resnet"):
-        return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size)
+        return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
-        return SmallLSTM(num_classes=num_classes, rnn_features=feature_size)
+        return SmallLSTM(num_classes=num_classes, rnn_features=feature_size, dtype=dtype)
     if name == "lstmwithattention":
         assert n_mfcc is not None
-        return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size)
+        return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)
     if name == "rnn":
         assert n_mfcc is not None
-        return RNN(num_classes=num_classes, time_len=n_mfcc)
+        return RNN(num_classes=num_classes, time_len=n_mfcc, dtype=dtype)
     raise ValueError(f"Unknown model {name}")

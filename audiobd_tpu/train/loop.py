@@ -35,7 +35,8 @@ from audiobd_tpu.train.state import TrainState
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    # Loss always in float32 regardless of the model's compute dtype.
+    return optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels)
 
 
 def _apply(model, params, batch_stats, x, train, dropout_key=None):

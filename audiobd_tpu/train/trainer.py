@@ -49,7 +49,8 @@ class TrainResult:
 
 def build_attack_model(cfg: AttackConfig):
     feats = linear_features_for(cfg.name, cfg.model)
-    return build_model(cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc)
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else None
+    return build_model(cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc, dtype=dtype)
 
 
 def make_optimizer(cfg: AttackConfig) -> optax.GradientTransformation:

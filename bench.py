@@ -36,6 +36,19 @@ def bench_ours() -> float:
     """Full device-resident training epochs (lax.scan over all batches) at
     dataset scale — the framework's production path on one chip."""
     import jax
+
+    log(f"devices: {jax.devices()}")
+    clips = _bench_ours_dtype("float32")
+    log(f"ours (f32): {clips:.0f} clips/s/chip")
+    return clips
+
+
+def bench_ours_bf16() -> float:
+    return _bench_ours_dtype("bfloat16")
+
+
+def _bench_ours_dtype(dtype: str) -> float:
+    import jax
     import jax.numpy as jnp
 
     from audiobd_tpu.configs import make_config
@@ -48,10 +61,7 @@ def bench_ours() -> float:
     from audiobd_tpu.train.state import TrainState
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
-    cfg = make_config("badnets", model="smallcnn", batch_size=BATCH)
-    n_chips = 1
-    log(f"devices: {jax.devices()}")
-
+    cfg = make_config("badnets", model="smallcnn", batch_size=BATCH, compute_dtype=dtype)
     model = build_attack_model(cfg)
     tx = make_optimizer(cfg)
     rng = np.random.default_rng(0)
@@ -66,17 +76,12 @@ def bench_ours() -> float:
     epoch_fn = make_train_epoch_fn(model, tx)
     key = jax.random.PRNGKey(1)
     np_rng = np.random.default_rng(1)
-
-    state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)  # compile
-    n_epochs = 5
+    state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
     t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, m = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
-    dt = (time.perf_counter() - t0) / n_epochs
-    clips_per_sec_per_chip = N_CLIPS / dt / n_chips
-    log(f"ours: {dt * 1e3:.1f} ms/epoch of {N_CLIPS} clips, "
-        f"{clips_per_sec_per_chip:.0f} clips/s/chip")
-    return clips_per_sec_per_chip
+    for _ in range(5):
+        state, _m = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
+    dt = (time.perf_counter() - t0) / 5
+    return N_CLIPS / dt
 
 
 def bench_torch_reference() -> float:
@@ -134,6 +139,11 @@ def bench_torch_reference() -> float:
 
 def main():
     ours = bench_ours()
+    try:
+        ours_bf16 = bench_ours_bf16()
+        log(f"bf16 mixed precision: {ours_bf16:.0f} clips/s/chip ({ours_bf16 / ours:.2f}x f32)")
+    except Exception as e:
+        log(f"bf16 bench failed: {e}")
     try:
         ref = bench_torch_reference()
     except Exception as e:

@@ -79,3 +79,20 @@ def test_badnets_end_to_end(cfg, clean):
     tree, spec = load_checkpoint(cfg.record_dir)
     assert spec["model"] == "smallcnn"
     assert "params" in tree and "batch_stats" in tree
+
+
+def test_badnets_bf16_compute_matches_quality(cfg, clean):
+    """Mixed precision (bf16 activations, f32 params/BN/loss) must reach the
+    same attack quality as f32."""
+    import dataclasses
+
+    poisoned = badnets.poison(cfg, clean, save=False)
+    cfg16 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, compute_dtype="bfloat16")
+    )
+    result = train_attack(
+        cfg16, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test,
+        verbose=False, save=False,
+    )
+    assert result.history["test_clean_acc"][-1] > 60.0
+    assert result.history["test_asr"][-1] > 80.0
