@@ -94,15 +94,29 @@ def loss_changes(model, params, batch_stats, data, neurons, base_loss, batch_siz
 
         return jnp.mean(jax.vmap(one)(xs, ys, ms))
 
-    out = []
-    by_layer: dict[str, jax.Array] = {}
+    # vmap the ablation per layer: only the modified kernel is materialized
+    # per lane; the rest of the params broadcast. One compiled program per
+    # layer instead of one full-loader eval per neuron.
+    by_layer: dict[str, list[int]] = {}
     for layer, idx in neurons:
-        if layer not in by_layer:
-            by_layer[layer] = jnp.asarray(get_leaf(params, layer))
-        kernel = by_layer[layer]
-        pruned = set_leaf(params, layer, kernel.at[..., idx].set(0.0))
-        out.append(float(eval_loss(pruned)) - base_loss)
-    return out
+        by_layer.setdefault(layer, []).append(idx)
+
+    losses: dict[tuple[str, int], float] = {}
+    lane_chunk = 16  # bound activation memory: ≤16 ablated models at once
+    for layer, idxs in by_layer.items():
+        kernel = jnp.asarray(get_leaf(params, layer))
+
+        def loss_for_idx(idx, layer=layer, kernel=kernel):
+            return eval_loss(set_leaf(params, layer, kernel.at[..., idx].set(0.0)))
+
+        vmapped = jax.jit(jax.vmap(loss_for_idx))
+        for start in range(0, len(idxs), lane_chunk):
+            chunk = idxs[start : start + lane_chunk]
+            padded = chunk + [chunk[-1]] * (lane_chunk - len(chunk))
+            vals = np.asarray(vmapped(jnp.asarray(padded)))
+            for idx, val in zip(chunk, vals):
+                losses[(layer, idx)] = float(val)
+    return [losses[(layer, idx)] - base_loss for layer, idx in neurons]
 
 
 @dataclass
