@@ -76,7 +76,11 @@ class UltrasonicTrigger:
         pos: str,
         cont: bool = True,
         wave_path: str = "resources/Ultrasonic/trigger.wav",
+        debug: bool = False,
+        debug_dir: str = "resources/Ultrasonic/debug",
     ):
+        self.debug = debug
+        self.debug_dir = debug_dir
         if pos not in TriggerInfeasible.correct_pos:
             raise TriggerInfeasible(size, pos)
         if size <= 0 or size > DIVIDER:
@@ -121,7 +125,26 @@ class UltrasonicTrigger:
 
     def trigger(self) -> np.ndarray:
         keep = self._mask_cont() if self.cont else self._mask_non_cont()
-        return np.where(keep[None, :], self.data, 0.0).astype(np.float32)
+        out = np.where(keep[None, :], self.data, 0.0).astype(np.float32)
+        if self.debug:
+            # Debug plots as in the reference's GenerateTrigger(debug=True)
+            # (utils/ultra_trigger.py:105-109).
+            import os as _os
+
+            import jax.numpy as jnp
+
+            from audiobd_tpu.dsp import MFCCParams, mfcc
+            from audiobd_tpu.utils.visual import plot_fft, plot_mfccs, plot_waveform
+
+            _os.makedirs(self.debug_dir, exist_ok=True)
+            plot_fft(out, TRIGGER_SR, _os.path.join(self.debug_dir, "trigger_fft.png"))
+            plot_waveform(out, TRIGGER_SR, _os.path.join(self.debug_dir, "trigger_wave.png"))
+            feats = mfcc(
+                jnp.asarray(out[0]),
+                MFCCParams(sample_rate=TRIGGER_SR, n_mfcc=40, n_fft=1103, hop_length=441),
+            )
+            plot_mfccs(np.asarray(feats), _os.path.join(self.debug_dir, "trigger_mfcc.png"))
+        return out
 
 
 @dataclass

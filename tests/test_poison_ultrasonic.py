@@ -70,3 +70,15 @@ def test_ultrasonic_poison(tmp_path, monkeypatch):
     keep = np.flatnonzero(out.bd_train.indicators == 0)
     np.testing.assert_array_equal(out.bd_train.feats[keep], clean.train_mfcc[keep])
     assert (out.bd_test.labels == cfg.target_label).all()
+
+
+def test_trigger_debug_plots(tmp_path):
+    trig = UltrasonicTrigger(
+        30, "mid", wave_path=str(tmp_path / "t.wav"),
+        debug=True, debug_dir=str(tmp_path / "dbg"),
+    ).trigger()
+    assert trig.shape == (1, 44100)
+    import os
+
+    for name in ("trigger_fft.png", "trigger_wave.png", "trigger_mfcc.png"):
+        assert os.path.exists(tmp_path / "dbg" / name)
