@@ -9,6 +9,21 @@ from audiobd_tpu.configs import make_config
 from audiobd_tpu.defend import correlation
 
 
+
+
+def _infer_attack(result: str, fallback: str) -> tuple[str, str | None]:
+    """Read attack/model from the checkpoint's model_spec.json when present,
+    so defenses need only --result (like the reference's scripts)."""
+    import json
+    import os
+
+    spec_path = os.path.join("record", result, "checkpoint", "model_spec.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            spec = json.load(f)
+        return spec.get("attack", fallback), spec.get("model")
+    return fallback, None
+
 def add_arguments():
     parser = argparse.ArgumentParser(description="Unlearning NWC correlation analysis (TPU)")
     parser.add_argument("--attack", type=str, default="badnets")
@@ -23,8 +38,9 @@ def add_arguments():
 
 def main():
     args = add_arguments()
-    cfg = make_config(args.attack, dataset=args.dataset, result=args.result,
-                      batch_size=args.batch_size)
+    attack, model = _infer_attack(args.result, args.attack)
+    cfg = make_config(attack, dataset=args.dataset, result=args.result,
+                      model=model, batch_size=args.batch_size)
     result = correlation.analyze(
         cfg, lr_un=args.lr_un, unlearn_epochs=args.unlearn_epochs, subset=args.subset
     )

@@ -64,3 +64,20 @@ def test_ultrasonic_e2e(tmp_path, monkeypatch):
     result = _run(cfg, poisoned)
     assert result.history["test_clean_acc"][-1] > 50.0
     assert result.history["test_asr"][-1] > 70.0
+
+
+def test_30_class_dataset_no_hardcoding(tmp_path, monkeypatch):
+    """SCDv1-30: nothing in the pipeline may assume 10 classes."""
+    from audiobd_tpu.poison import badnets
+
+    monkeypatch.chdir(tmp_path)
+    cfg = make_config(
+        "badnets", dataset="SCDv1-30", num_classes=30, result="bd30",
+        num_epochs=2, batch_size=64, learning_rate=1e-3,
+    )
+    assert len(cfg.labels) == 30
+    clean = make_synthetic_clean_data(cfg, n_per_class=4)
+    poisoned = badnets.poison(cfg, clean, save=False)
+    result = _run(cfg, poisoned)
+    assert result.epochs_ran == 2
+    assert 0 <= result.history["test_asr"][-1] <= 100
