@@ -274,7 +274,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
     ind_train = np.zeros(n_train, dtype=np.int64)
     ind_train[chosen] = 1
     bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[chosen] = batched_mfcc(bd_train_wav[chosen], params)
+    bd_train_mfcc[chosen] = batched_mfcc(bd_train_wav[chosen], params, use_pallas=cfg.dsp.use_pallas)
 
     nontarget_test = clean.test_label != target
     bd_test_wav = clean.test_wav.copy()
@@ -283,7 +283,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
     )
     bd_test_wav[nontarget_test] = mixed_t[:, None, :]
     bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget_test] = batched_mfcc(bd_test_wav[nontarget_test], params)
+    bd_test_mfcc[nontarget_test] = batched_mfcc(bd_test_wav[nontarget_test], params, use_pallas=cfg.dsp.use_pallas)
     bd_test_label = np.full(len(clean.test_label), target, dtype=np.int64)
     ind_test = nontarget_test.astype(np.int64)
 

@@ -17,8 +17,6 @@ Structure notes (TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

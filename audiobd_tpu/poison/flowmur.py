@@ -253,14 +253,14 @@ def poison(cfg: AttackConfig, clean: CleanData, trigger: np.ndarray, save: bool 
     if poison_num:
         pos = rng.integers(0, t - length + 1, size=poison_num)
         bd_train_wav[chosen] = _inject_snr(bd_train_wav[chosen], trigger, pos, cfg.snr_db)
-    bd_train_mfcc = batched_mfcc(bd_train_wav, params)
+    bd_train_mfcc = batched_mfcc(bd_train_wav, params, use_pallas=cfg.dsp.use_pallas)
     ind_train = (clean.train_label == cfg.target_label).astype(np.int64)  # quirk: all class-2 rows
 
     keep = clean.test_label != cfg.target_label
     bd_test_wav = clean.test_wav[keep].copy()
     pos = rng.integers(0, t - length + 1, size=len(bd_test_wav))
     bd_test_wav = _inject_half(bd_test_wav, trigger, pos)
-    bd_test_mfcc = batched_mfcc(bd_test_wav, params)
+    bd_test_mfcc = batched_mfcc(bd_test_wav, params, use_pallas=cfg.dsp.use_pallas)
     bd_test_label = np.full(len(bd_test_wav), cfg.target_label, dtype=np.int64)
     ind_test = np.ones(len(bd_test_wav), dtype=np.int64)
 

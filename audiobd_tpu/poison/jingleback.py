@@ -94,7 +94,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> JingleBack
     bd_train_wav = clean.train_wav.copy()
     bd_train_wav[poison_idx] = poison_style(clean.train_wav[poison_idx], cfg.style, sr)
     bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[poison_idx] = batched_mfcc(bd_train_wav[poison_idx], params)
+    bd_train_mfcc[poison_idx] = batched_mfcc(bd_train_wav[poison_idx], params, use_pallas=cfg.dsp.use_pallas)
     bd_train_label = clean.train_label.copy()
     bd_train_label[poison_idx] = cfg.target_label
     ind_train = np.zeros(n_train, dtype=np.int64)
@@ -104,7 +104,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> JingleBack
     bd_test_wav = clean.test_wav.copy()
     bd_test_wav[nontarget] = poison_style(clean.test_wav[nontarget], cfg.style, sr)
     bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget] = batched_mfcc(bd_test_wav[nontarget], params)
+    bd_test_mfcc[nontarget] = batched_mfcc(bd_test_wav[nontarget], params, use_pallas=cfg.dsp.use_pallas)
     bd_test_label = np.full(len(clean.test_label), cfg.target_label, dtype=np.int64)
     ind_test = nontarget.astype(np.int64)
 

@@ -1,11 +1,13 @@
 """Benchmark: poisoned-training throughput (clips/sec/chip).
 
-Measures the steady-state jitted train step of the BadNets workload
-(smallcnn, batch 256, MFCC (1, 101, 40)) on the default device (the real
-TPU chip under the driver), and compares against the reference-equivalent
-PyTorch training step executed on this host's CPU (the reference is
-single-device torch with no published numbers — BASELINE.md; the live torch
-measurement is the only baseline available in this image).
+Measures full device-resident training epochs (lax.scan over all batches)
+of the BadNets workload (smallcnn, batch 256, MFCC (1, 101, 40), 20480
+clips) on the default device — the real TPU chip under the driver — and
+compares against the reference-equivalent PyTorch training step executed on
+this host's CPU (the reference is single-device torch with no published
+numbers — BASELINE.md; the live torch measurement is the only baseline
+available in this image). Timing uses device_get-forced synchronization
+(block_until_ready does not synchronize on the axon backend).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
