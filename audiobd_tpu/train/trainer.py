@@ -173,9 +173,22 @@ def train_attack(
         "n_mfcc": cfg.dsp.n_mfcc,
     }
 
+    # Serializing a checkpoint (device→host transfer + Orbax write) costs
+    # seconds over a tunneled backend and the monitored loss improves most
+    # epochs early on. Keep the best state as a cheap on-device copy (the
+    # train step donates its input, so a copy is required anyway) and
+    # throttle disk writes; the final best is always serialized below.
+    best_holder: dict = {}
+    last_write = [0.0]
+    # One compiled program per copy instead of one eager op per leaf.
+    device_copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
     def save_best(st):
-        if save:
-            save_checkpoint(record_dir, st, model_spec)
+        best_holder["state"] = device_copy(st)
+        now = time.perf_counter()
+        if save and now - last_write[0] > 60.0:
+            save_checkpoint(record_dir, best_holder["state"], model_spec)
+            last_write[0] = now
 
     stopper = EarlyStopping(cfg.train.patience, save_fn=save_best, verbose=verbose)
     np_rng = rnd.np_rng(cfg.train.seed, "shuffle")
@@ -238,6 +251,8 @@ def train_attack(
 
     if profile_dir:  # fewer than 2 epochs ran
         jax.profiler.stop_trace()
+    if save and "state" in best_holder:
+        save_checkpoint(record_dir, best_holder["state"], model_spec)
     wall = time.perf_counter() - t_start
     result = TrainResult(
         history=history,
