@@ -10,7 +10,11 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import add_common_args, config_from_args
-from audiobd_tpu.data.speech_commands import load_clean_data, make_synthetic_clean_data
+from audiobd_tpu.data.speech_commands import (
+    load_clean_data,
+    make_synthetic_clean_data,
+    save_clean_data,
+)
 from audiobd_tpu.poison import badnets
 from audiobd_tpu.train.trainer import train_attack
 
@@ -38,6 +42,7 @@ def main():
 
     if args.synthetic:
         clean = make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
+        save_clean_data(cfg, clean)  # defenses read the clean npy cache
     else:
         clean = load_clean_data(cfg)
     poisoned = badnets.poison(cfg, clean)

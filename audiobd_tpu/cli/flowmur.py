@@ -14,7 +14,11 @@ import os
 import numpy as np
 
 from audiobd_tpu.configs import add_common_args, config_from_args
-from audiobd_tpu.data.speech_commands import load_clean_data, make_synthetic_clean_data
+from audiobd_tpu.data.speech_commands import (
+    load_clean_data,
+    make_synthetic_clean_data,
+    save_clean_data,
+)
 from audiobd_tpu.poison import flowmur
 from audiobd_tpu.train.trainer import train_attack
 
@@ -44,11 +48,11 @@ def main():
     print("----------FlowMur attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")
-    clean = (
-        make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
-        if args.synthetic
-        else load_clean_data(cfg)
-    )
+    if args.synthetic:
+        clean = make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
+        save_clean_data(cfg, clean)  # defenses read the clean npy cache
+    else:
+        clean = load_clean_data(cfg)
 
     print("Training surrogate model...")
     model, state = flowmur.pretrain_surrogate(cfg, clean)

@@ -5,7 +5,11 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import add_common_args, config_from_args
-from audiobd_tpu.data.speech_commands import load_clean_data, make_synthetic_clean_data
+from audiobd_tpu.data.speech_commands import (
+    load_clean_data,
+    make_synthetic_clean_data,
+    save_clean_data,
+)
 from audiobd_tpu.poison import ultrasonic
 from audiobd_tpu.train.trainer import train_attack
 
@@ -32,11 +36,11 @@ def main():
     print("----------Ultrasonic attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")
-    clean = (
-        make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
-        if args.synthetic
-        else load_clean_data(cfg)
-    )
+    if args.synthetic:
+        clean = make_synthetic_clean_data(cfg, n_per_class=args.synthetic_per_class)
+        save_clean_data(cfg, clean)  # defenses read the clean npy cache
+    else:
+        clean = load_clean_data(cfg)
     poisoned = ultrasonic.poison(cfg, clean)
     result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test)
     print(
