@@ -7,11 +7,11 @@ without spilling intermediates to HBM:
     per-clip top_db log → @ DCT → MFCC out
 
 Frame extraction is *folded into the DFT matmul* instead of materialized:
-with n_fft = q·hop + r, frame f spans hop-chunks f … f+q, so
+with q = ceil(n_fft/hop), frame f spans hop-chunks f … f+q−1, so
 
     re[f] = Σ_j C[f+j] @ Bc[j·hop : (j+1)·hop]
 
-— one matmul of the chunk matrix against the stacked bases plus q+1
+— q matmuls of the chunk matrix against the split bases plus
 statically-shifted adds. This avoids the Mosaic restriction on unaligned
 dynamic lane slices (hop=160/441/512 are not 128-aligned) *and* never
 builds the 2.5×-redundant im2col frame matrix the XLA path gathers.
@@ -36,8 +36,8 @@ from audiobd_tpu.dsp.stft import _dft_bases
 
 
 def _stacked_bases(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Windowed DFT bases cut into q+1 hop-row blocks, zero-padded to hop,
-    stacked on the output axis: (hop, (q+1)·n_bins) each for cos and sin."""
+    """Windowed DFT bases cut into q = ceil(n_fft/hop) hop-row blocks,
+    zero-padded to hop rows: (q, hop, n_bins) each for cos and sin."""
     cos_b, sin_b = _dft_bases(n_fft)  # (n_fft, n_bins)
     q = -(-n_fft // hop)  # number of hop-chunks a frame spans (ceil)
     n_bins = cos_b.shape[1]
