@@ -114,6 +114,18 @@ def synthesize_trigger_pool(path: str | None, n_songs: int = 20, variants: int =
     return pool_arr
 
 
+def resolve_trigger_pool_dir(cfg) -> str:
+    """Prefer the genuine reference pool (the hardcoded path at reference
+    utils/daba_injection_tools.py:127, 60 music clips) over a run-local dir;
+    synthesis into the run dir is the last resort."""
+    from audiobd_tpu.utils.assets import find_resource
+
+    real = find_resource(os.path.join("DABA", "trigger_pool"))
+    if real is not None:
+        return real
+    return os.path.join(cfg.record_dir, "resources", "DABA", "trigger_pool")
+
+
 def load_trigger_pool(path: str, sr: int = 16000) -> np.ndarray:
     """Load a user-provided pool dir (sorted, as the reference globs) or
     synthesize one into it."""
@@ -237,7 +249,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
     params = mfcc_params(cfg)
     target = cfg.target_label
 
-    pool_dir = os.path.join(cfg.record_dir, "resources", "DABA", "trigger_pool")
+    pool_dir = resolve_trigger_pool_dir(cfg)
     pool = load_trigger_pool(pool_dir, sr=sr)
 
     n_train = len(clean.train_wav)

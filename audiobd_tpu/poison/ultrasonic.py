@@ -36,10 +36,15 @@ DIVIDER = 100
 
 
 class TriggerInfeasible(Exception):
-    """Raised for invalid trigger size/position parameters."""
+    """Raised for invalid trigger size/position parameters.
+
+    Quirk parity: the reference's message reports the size bound as 60
+    (``correct_size`` at utils/ultra_trigger.py:12) while validation accepts
+    (0, 100]; both behaviors are mirrored here.
+    """
 
     correct_pos = ("start", "mid", "end")
-    correct_size = DIVIDER
+    correct_size = 60  # message text only; validation uses DIVIDER (=100)
 
     def __init__(self, size, pos):
         self.size = size
@@ -51,7 +56,8 @@ class TriggerInfeasible(Exception):
 
 
 def synthesize_trigger_wave(path: str | None = None, seed: int = 7) -> np.ndarray:
-    """1 s mono 44.1 kHz waveform with energy confined to 21–22 kHz."""
+    """1 s mono 44.1 kHz waveform with tones at 21.0–21.7 kHz (100 Hz steps),
+    all above the 20 kHz audibility threshold the attack relies on."""
     rng = np.random.default_rng(seed)
     t = np.arange(TRIGGER_SR) / TRIGGER_SR
     wav = np.zeros(TRIGGER_SR, dtype=np.float64)
@@ -155,12 +161,23 @@ class UltrasonicPoisoned:
     trigger: np.ndarray
 
 
+def resolve_trigger_wave_path(cfg: AttackConfig) -> str:
+    """Prefer the genuine reference asset (utils/ultra_trigger.py:24) over a
+    run-local copy; synthesize into the run dir only when neither exists."""
+    from audiobd_tpu.utils.assets import find_resource
+
+    real = find_resource(os.path.join("Ultrasonic", "trigger.wav"))
+    if real is not None:
+        return real
+    return os.path.join(cfg.record_dir, "resources", "Ultrasonic", "trigger.wav")
+
+
 def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> UltrasonicPoisoned:
     trig = UltrasonicTrigger(
         cfg.ultra_trigger_size,
         cfg.trigger_pos,
         cont=cfg.trigger_cont,
-        wave_path=os.path.join(cfg.record_dir, "resources", "Ultrasonic", "trigger.wav"),
+        wave_path=resolve_trigger_wave_path(cfg),
     ).trigger()  # (1, 44100)
     assert clean.train_wav.shape[-1] == trig.shape[-1], (
         "ultrasonic requires the 44.1 kHz pipeline (cfg.dsp.sample_rate=44100)"
