@@ -5,23 +5,10 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import make_config
+from audiobd_tpu.cli.common import infer_attack
 from audiobd_tpu.defend import fp
 
 
-
-
-def _infer_attack(result: str, fallback: str) -> tuple[str, str | None]:
-    """Read attack/model from the checkpoint's model_spec.json when present,
-    so defenses need only --result (like the reference's scripts)."""
-    import json
-    import os
-
-    spec_path = os.path.join("record", result, "checkpoint", "model_spec.json")
-    if os.path.exists(spec_path):
-        with open(spec_path) as f:
-            spec = json.load(f)
-        return spec.get("attack", fallback), spec.get("model")
-    return fallback, None
 
 def add_arguments():
     parser = argparse.ArgumentParser(description="Fine-Pruning defense (TPU)")
@@ -40,7 +27,7 @@ def add_arguments():
 
 def main():
     args = add_arguments()
-    attack, spec_model = _infer_attack(args.result, args.attack)
+    attack, spec_model = infer_attack(args.result, args.attack)
     cfg = make_config(attack, dataset=args.dataset, result=args.result,
                       model=args.model or spec_model, batch_size=args.batch_size)
     result = fp.mitigation(

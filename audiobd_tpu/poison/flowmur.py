@@ -155,6 +155,7 @@ def optimize_trigger(
 
     wavs = jnp.asarray(waveforms[:, 0, :].astype(np.float32))  # (N, T)
     n = wavs.shape[0]
+    bs = min(bs, n)  # small host pools (e.g. --synthetic) must not over-slice
     n_batches = max(n // bs, 1)
     usable = n_batches * bs
 
