@@ -167,20 +167,45 @@ def neuron_weight_changes(params_new: dict, params_old: dict, kind: str = "conv"
 
 
 # ---------------------------------------------------------------------------
-# Eval / fine-tune wrappers
+# Eval / fine-tune wrappers (device-resident scan epochs)
+#
+# Defense loops run hundreds of epochs over small splits; the per-batch path
+# pays a host dispatch + device_put per step, which dominated the round-1
+# defense-chain wall time (CLAUDE.md deferred item). All defense eval and
+# fine-tuning now runs on train/scan_epoch.py's engine: datasets are pinned
+# to device once (cached per ArraySet) and each epoch is one compiled scan.
+
+
+_device_cache: dict[int, tuple[Any, Any]] = {}
+
+
+def device_dataset(data: ArraySet):
+    """Device-resident view of an ArraySet, cached by identity (weakref-
+    verified so a recycled id never serves stale arrays)."""
+    import weakref
+
+    from audiobd_tpu.train.scan_epoch import DeviceDataset
+
+    entry = _device_cache.get(id(data))
+    if entry is not None and entry[0]() is data:
+        return entry[1]
+    dset = DeviceDataset(data)
+    key = id(data)
+    _device_cache[key] = (weakref.ref(data, lambda _: _device_cache.pop(key, None)), dset)
+    return dset
 
 
 def make_tester(model, batch_size: int = 256):
     """(params, batch_stats, ArraySet) → (loss, acc-fraction) — the
     reference's temp_test contract (fp.py:36-50)."""
-    from audiobd_tpu.train.loop import make_eval_step, run_eval
+    from audiobd_tpu.train.scan_epoch import make_eval_epoch_fn, run_eval_scan
     from audiobd_tpu.train.state import TrainState
 
-    eval_step = make_eval_step(model)
+    eval_fn = make_eval_epoch_fn(model)
 
     def tester(params, batch_stats, data: ArraySet):
         state = TrainState(params=params, batch_stats=batch_stats, opt_state=None, step=0)
-        out = run_eval(eval_step, state, data, batch_size)
+        out = run_eval_scan(eval_fn, state, device_dataset(data), min(batch_size, len(data)))
         return out["loss"], out["acc"] / 100.0
 
     return tester
@@ -189,15 +214,15 @@ def make_tester(model, batch_size: int = 256):
 def make_full_tester(model, batch_size: int = 256):
     """(params, batch_stats, clean_test, bd_test_complete) →
     (clean_acc, asr, clean_loss, bd_loss) — the reference's test()."""
-    from audiobd_tpu.train.loop import make_eval_step, run_eval
+    from audiobd_tpu.train.scan_epoch import make_eval_epoch_fn, run_eval_scan
     from audiobd_tpu.train.state import TrainState
 
-    eval_step = make_eval_step(model)
+    eval_fn = make_eval_epoch_fn(model)
 
     def tester(params, batch_stats, clean_test: ArraySet, bd_complete: ArraySet):
         state = TrainState(params=params, batch_stats=batch_stats, opt_state=None, step=0)
-        clean = run_eval(eval_step, state, clean_test, batch_size)
-        bd = run_eval(eval_step, state, bd_complete, batch_size)
+        clean = run_eval_scan(eval_fn, state, device_dataset(clean_test), min(batch_size, len(clean_test)))
+        bd = run_eval_scan(eval_fn, state, device_dataset(bd_complete), min(batch_size, len(bd_complete)))
         return clean["acc"], bd["asr"], clean["loss"], bd["loss"]
 
     return tester
@@ -213,19 +238,32 @@ def finetune_epochs(
     batch_size: int,
     seed: int,
     project: Callable[[Any], Any] | None = None,
+    on_epoch: Callable[[int, Any, Any], None] | None = None,
 ):
     """Plain supervised fine-tuning for N epochs; ``project`` (e.g. a prune
-    mask re-application) runs after every epoch."""
-    from audiobd_tpu.train.loop import make_train_step, run_train_epoch
+    mask re-application) runs after every epoch, then ``on_epoch(epoch,
+    params, batch_stats)`` — one optimizer instance and one shuffle stream
+    across all epochs, matching the reference's single-Adam fine-tunes.
+
+    Each epoch is a single device-resident lax.scan (train/scan_epoch.py);
+    host work between epochs is only the ``project``/``on_epoch`` hooks.
+    """
+    from audiobd_tpu.train.scan_epoch import make_train_epoch_fn, run_train_epoch_scan
     from audiobd_tpu.train.state import TrainState
 
     state = TrainState(params=params, batch_stats=batch_stats, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
-    step_fn = make_train_step(model, tx)
+    # donate=False: the defense loops reuse params_o/batch_stats pytrees
+    # across calls (e.g. per-ratio restarts), so inputs must stay live.
+    epoch_fn = make_train_epoch_fn(model, tx, donate=False)
+    dset = device_dataset(data)
     np_rng = rnd.np_rng(seed, "defense_ft")
     key = rnd.named_key(seed, "defense_ft_dropout")
     metrics = None
-    for _ in range(epochs):
-        state, metrics = run_train_epoch(step_fn, state, data, batch_size, key, np_rng)
+    bs = min(batch_size, len(data))
+    for epoch in range(epochs):
+        state, metrics = run_train_epoch_scan(epoch_fn, state, dset, bs, key, np_rng)
         if project is not None:
             state = state.replace(params=project(state.params))
+        if on_epoch is not None:
+            on_epoch(epoch, state.params, state.batch_stats)
     return state.params, state.batch_stats, metrics

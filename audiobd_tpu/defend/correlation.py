@@ -40,7 +40,7 @@ def _unlearn(model, params0, batch_stats, data: ArraySet, record_layer, lr, epoc
         for idx, mask in iter_batches(len(data), min(bs, len(data)), np_rng, shuffle=True):
             batch = make_batch(data.feats, data.labels, data.indicators, idx, mask)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, _, _ = step(params, opt_state, batch_stats, batch, record_layer)
+            params, opt_state, _loss, _acc, _gn = step(params, opt_state, batch_stats, batch, record_layer)
             if first_batch_only:
                 break
     return params

@@ -66,6 +66,57 @@ def make_reg_step(model, tx, r: float, alpha: float):
     return jax.jit(step)
 
 
+def make_reg_epochs_fn(model, tx, r: float, alpha: float):
+    """Device-resident multi-epoch SAM loop: one lax.scan over every batch of
+    every epoch in the call (perm shaped (steps, bs)). Returns the applied
+    gradient of the final batch — the probe the reference's grad-change score
+    reads (ft_reg.py:297-303). Same math, same batch composition, and same
+    update order as make_reg_step; only the dispatch granularity changes."""
+
+    def run(params, opt_state, batch_stats, feats, labels, perms, masks):
+        def loss_at(p, idx, bmask):
+            logits = model.apply({"params": p, "batch_stats": batch_stats}, feats[idx], train=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels[idx])
+            fm = bmask.astype(jnp.float32)
+            return jnp.sum(ce * fm) / jnp.maximum(fm.sum(), 1.0)
+
+        def body(carry, inputs):
+            params, opt_state, _ = carry
+            idx, bmask = inputs
+            g1 = jax.grad(loss_at)(params, idx, bmask)
+            perturbed = jax.tree_util.tree_map(
+                lambda p, g: p + r * g / jnp.maximum(jnp.linalg.norm(g), 1e-12), params, g1
+            )
+            g2 = jax.grad(loss_at)(perturbed, idx, bmask)
+            final = jax.tree_util.tree_map(lambda a, b: (1 - alpha) * a + alpha * b, g1, g2)
+            updates, opt_state = tx.update(final, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, final), None
+
+        zero_grad = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (params, opt_state, last_grad), _ = jax.lax.scan(
+            body, (params, opt_state, zero_grad), (perms, masks)
+        )
+        return params, opt_state, last_grad
+
+    return jax.jit(run)
+
+
+def run_reg_epochs(epoch_fn, params, opt_state, batch_stats, dset, batch_size, epochs, np_rng):
+    """Drive make_reg_epochs_fn for ``epochs`` epochs in one dispatch."""
+    from audiobd_tpu.train.scan_epoch import make_perm, pad_plan
+
+    n_batches, mask = pad_plan(dset.n, batch_size)
+    perms = np.concatenate(
+        [make_perm(np_rng, dset.n, n_batches, batch_size) for _ in range(epochs)]
+    )
+    masks = np.concatenate([mask] * epochs)
+    return epoch_fn(
+        params, opt_state, batch_stats, dset.feats, dset.labels,
+        jnp.asarray(perms), jnp.asarray(masks),
+    )
+
+
 def normalize_and_invert(scores: np.ndarray) -> np.ndarray:
     lo, hi = scores.min(), scores.max()
     return 1.0 - (scores - lo) / max(hi - lo, 1e-12)
@@ -145,27 +196,41 @@ def mitigation(
     tester = make_tester(model, bs)
     full_tester = make_full_tester(model, bs)
 
-    # 1. sharpness-aware fine-tuning
+    # 1. sharpness-aware fine-tuning — device-resident scan over epoch chunks
+    # (one compiled dispatch per chunk instead of one per batch; the per-batch
+    # path cost 300 epochs of host round-trips over the tunnel).
+    from audiobd_tpu.defend.common import device_dataset
+
     tx = optax.sgd(lr_ft, momentum=0.9)
-    step = make_reg_step(model, tx, r, alpha)
+    epoch_fn = make_reg_epochs_fn(model, tx, r, alpha)
+    dset = device_dataset(data.clean_val)
+    val_bs = min(bs, len(data.clean_val))
     params = params_o
     opt_state = tx.init(params)
     np_rng = rnd.np_rng(cfg.train.seed, "ftreg_shuffle")
+
+    # epoch 0 alone, to capture the reference's grad_s probe (the gradient
+    # applied at the end of the first epoch, ft_reg.py:297).
+    first = min(1, reg_epochs)
     grad_s = grad_t = None
-    for epoch in range(reg_epochs):
-        last_grad = None
-        for idx, mask in iter_batches(len(data.clean_val), min(bs, len(data.clean_val)), np_rng):
-            batch = make_batch(
-                data.clean_val.feats, data.clean_val.labels, data.clean_val.indicators, idx, mask
-            )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, last_grad = step(params, opt_state, batch_stats, batch)
-        if epoch == 0:
-            grad_s = jax.tree_util.tree_map(np.asarray, last_grad)
+    if first:
+        params, opt_state, last_grad = run_reg_epochs(
+            epoch_fn, params, opt_state, batch_stats, dset, val_bs, 1, np_rng
+        )
+        grad_s = jax.tree_util.tree_map(np.asarray, last_grad)
+        grad_t = grad_s
+    done = first
+    chunk = 10  # fixed chunk size → at most three jit shapes (1, chunk, tail)
+    while done < reg_epochs:
+        n = min(chunk, reg_epochs - done)
+        params, opt_state, last_grad = run_reg_epochs(
+            epoch_fn, params, opt_state, batch_stats, dset, val_bs, n, np_rng
+        )
         grad_t = last_grad
-        if verbose and (epoch + 1) % 10 == 0:
+        done += n
+        if verbose:
             acc, asr, _, _ = full_tester(params, batch_stats, data.clean_test, data.bd_test_complete)
-            print(f"ft_reg epoch {epoch + 1}: acc {acc:.2f} asr {asr:.2f}")
+            print(f"ft_reg epoch {done}: acc {acc:.2f} asr {asr:.2f}")
     grad_t = jax.tree_util.tree_map(np.asarray, grad_t)
 
     # 2. neuron scoring

@@ -55,21 +55,25 @@ def default_record_layer(params: dict) -> str:
 
 def make_unlearn_step(model, tx):
     """One gradient-ascent step; also returns per-neuron |grad| sums of the
-    record layer (reference train_unlearning, tsbd.py:108-138)."""
+    record layer and the batch train accuracy (reference train_unlearning,
+    tsbd.py:108-138, which logs the unlearning train accuracy per epoch)."""
 
     def step(params, opt_state, batch_stats, batch, record_layer: str):
         def neg_loss(p):
             logits = model.apply({"params": p, "batch_stats": batch_stats}, batch["x"], train=False)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch["y"])
             mask = batch["mask"].astype(jnp.float32)
-            return -jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1.0)
+            return -jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1.0), logits
 
-        loss_neg, grads = jax.value_and_grad(neg_loss)(params)
+        (loss_neg, logits), grads = jax.value_and_grad(neg_loss, has_aux=True)(params)
+        mask = batch["mask"].astype(jnp.float32)
+        hits = (jnp.argmax(logits, axis=-1) == batch["y"]).astype(jnp.float32)
+        train_acc = jnp.sum(hits * mask) / jnp.maximum(mask.sum(), 1.0)
         g = jnp.asarray(get_leaf(grads, record_layer))
         grad_norm = jnp.sum(jnp.abs(g.reshape(-1, g.shape[-1])), axis=0)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, -loss_neg, grad_norm
+        return params, opt_state, -loss_neg, train_acc, grad_norm
 
     return jax.jit(step, static_argnames=("record_layer",))
 
@@ -139,20 +143,23 @@ def mitigation(
     for epoch in range(unlearn_epochs):
         grad_norms = []
         losses = []
-        correct = total = 0
+        train_accs = []
         for idx, mask in iter_batches(len(loader), min(bs, len(loader)), np_rng, shuffle=True):
             batch = make_batch(loader.feats, loader.labels, loader.indicators, idx, mask)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, loss, gn = unlearn_step(params, opt_state, batch_stats, batch, record_layer)
+            params, opt_state, loss, train_acc, gn = unlearn_step(
+                params, opt_state, batch_stats, batch, record_layer
+            )
             grad_norms.append(np.asarray(gn))
             losses.append(float(loss))
+            train_accs.append(float(train_acc))
             if first_batch_only:
                 break
         gn_arr = np.stack(grad_norms)
         _, val_acc = tester(params, batch_stats, data.clean_val)
         _, test_acc = tester(params, batch_stats, data.clean_test)
         _, test_asr = tester(params, batch_stats, data.bd_test)
-        row_head = [epoch, float(np.mean(losses)), 0.0, test_acc, test_asr, val_acc]
+        row_head = [epoch, float(np.mean(losses)), float(np.mean(train_accs)), test_acc, test_asr, val_acc]
         grad_rows_avg.append(row_head + gn_arr.mean(axis=0).tolist())
         grad_rows_var.append(row_head + gn_arr.var(axis=0).tolist())
         if verbose:
@@ -198,16 +205,22 @@ def mitigation(
         if verbose:
             print(f"reinit ratio {ratio}: acc {acc:.2f} asr {asr:.2f}")
 
-        ft_params, ft_stats = reinit_params, batch_stats
-        for epoch in range(ft_epochs + 1):
-            ft_params, ft_stats, _ = finetune_epochs(
-                model, ft_params, ft_stats, data.clean_val,
-                optax.adam(lr_ft), epochs=1, batch_size=bs, seed=cfg.train.seed + epoch,
-            )
+        last = {}
+
+        def test_every_10(epoch, p, bstats, _ratio=ratio, _last=last):
             if epoch % 10 == 0:
-                acc, asr, closs, bloss = full_tester(ft_params, ft_stats, data.clean_test, data.bd_test_complete)
-                append_csv_row(ft_csv, [ratio, epoch, closs, bloss, acc, asr])
-        per_ratio.append((ratio, acc, asr))
+                acc, asr, closs, bloss = full_tester(p, bstats, data.clean_test, data.bd_test_complete)
+                append_csv_row(ft_csv, [_ratio, epoch, closs, bloss, acc, asr])
+                _last["acc"], _last["asr"] = acc, asr
+
+        # One Adam instance + one shuffle stream across all ft_epochs+1
+        # epochs, matching the reference's single optimizer (tsbd.py:382-404).
+        finetune_epochs(
+            model, reinit_params, batch_stats, data.clean_val,
+            optax.adam(lr_ft), epochs=ft_epochs + 1, batch_size=bs,
+            seed=cfg.train.seed, on_epoch=test_every_10,
+        )
+        per_ratio.append((ratio, last["acc"], last["asr"]))
     prepend_csv_header(prune_csv, ["ratio", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
     prepend_csv_header(ft_csv, ["ratio", "epoch", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
     return TSBDResult("full", per_ratio[-1][1], per_ratio[-1][2], per_ratio)

@@ -40,7 +40,9 @@ def make_perm(np_rng: np.random.Generator | None, n: int, n_batches: int, batch_
     order = np_rng.permutation(n) if np_rng is not None else np.arange(n)
     total = n_batches * batch_size
     if total > n:
-        order = np.concatenate([order, order[: total - n]])
+        # Cyclic wrap-pad (same as iter_batches): handles batch_size > n,
+        # where a single slice of the permutation would fall short.
+        order = np.concatenate([order, np.resize(order, total - n)])
     return order.reshape(n_batches, batch_size).astype(np.int32)
 
 
