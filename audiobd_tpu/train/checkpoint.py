@@ -47,6 +47,87 @@ def save_checkpoint(record_dir: str, state: TrainState, model_spec: dict[str, An
         json.dump(model_spec, f)
 
 
+class AsyncCheckpointWriter:
+    """Latest-wins background checkpoint writer.
+
+    ``submit`` replaces any still-pending state and returns immediately, so
+    an improving-most-epochs phase never blocks the epoch loop on the
+    device→host transfer + Orbax write (seconds over a tunneled backend).
+    The writer thread drains at its own pace; ``flush`` guarantees the most
+    recently submitted state is on disk. One write is in flight at a time.
+    """
+
+    def __init__(self, min_interval: float = 30.0):
+        import threading
+        import time
+
+        self._time = time.monotonic
+        self._min_interval = min_interval
+        self._last_write = -float("inf")
+        self._cond = threading.Condition()
+        self._pending = None  # (record_dir, state, model_spec)
+        self._writing = False
+        self._closed = False
+        self._rush = False
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-writer")
+        self._thread.start()
+
+    def submit(self, record_dir: str, state: TrainState, model_spec: dict[str, Any]) -> None:
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("writer closed")
+            self._pending = (record_dir, state, model_spec)
+            self._cond.notify_all()
+
+    def flush(self) -> None:
+        """Block until everything submitted so far is durably written
+        (overrides the min-interval pacing)."""
+        with self._cond:
+            self._rush = True
+            self._cond.notify_all()
+            while self._pending is not None or self._writing:
+                self._cond.wait()
+            self._rush = False
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
+
+    def close(self) -> None:
+        self.flush()
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(timeout=60)
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None and not self._closed:
+                    self._cond.wait()
+                if self._pending is None and self._closed:
+                    return
+                # Pace writes so a rapidly-improving phase doesn't hog the
+                # device↔host link; flush()/close() skip the pacing.
+                while not self._rush and not self._closed:
+                    remaining = self._last_write + self._min_interval - self._time()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                job, self._pending = self._pending, None
+                self._writing = True
+            try:
+                save_checkpoint(*job)
+            except BaseException as e:  # surfaced on the next flush()
+                with self._cond:
+                    self._error = e
+            finally:
+                self._last_write = self._time()
+                with self._cond:
+                    self._writing = False
+                    self._cond.notify_all()
+
+
 def load_checkpoint(record_dir: str, abstract_tree=None) -> tuple[dict[str, Any], dict[str, Any]]:
     """Returns (state_tree, model_spec)."""
     path = os.path.abspath(checkpoint_dir(record_dir))

@@ -24,7 +24,7 @@ import optax
 from audiobd_tpu.configs import AttackConfig, linear_features_for
 from audiobd_tpu.models import build_model
 from audiobd_tpu.parallel.mesh import make_mesh, shard_replicated
-from audiobd_tpu.train.checkpoint import save_checkpoint
+from audiobd_tpu.train.checkpoint import AsyncCheckpointWriter
 from audiobd_tpu.train.loop import (
     ArraySet,
     EarlyStopping,
@@ -176,19 +176,18 @@ def train_attack(
     # Serializing a checkpoint (device→host transfer + Orbax write) costs
     # seconds over a tunneled backend and the monitored loss improves most
     # epochs early on. Keep the best state as a cheap on-device copy (the
-    # train step donates its input, so a copy is required anyway) and
-    # throttle disk writes; the final best is always serialized below.
+    # train step donates its input, so a copy is required anyway) and hand
+    # disk writes to a latest-wins background writer so the epoch loop never
+    # blocks on serialization; the final best is always flushed below.
     best_holder: dict = {}
-    last_write = [0.0]
+    writer = AsyncCheckpointWriter() if save else None
     # One compiled program per copy instead of one eager op per leaf.
     device_copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
 
     def save_best(st):
         best_holder["state"] = device_copy(st)
-        now = time.perf_counter()
-        if save and now - last_write[0] > 60.0:
-            save_checkpoint(record_dir, best_holder["state"], model_spec)
-            last_write[0] = now
+        if writer is not None:
+            writer.submit(record_dir, best_holder["state"], model_spec)
 
     stopper = EarlyStopping(cfg.train.patience, save_fn=save_best, verbose=verbose)
     np_rng = rnd.np_rng(cfg.train.seed, "shuffle")
@@ -251,8 +250,8 @@ def train_attack(
 
     if profile_dir:  # fewer than 2 epochs ran
         jax.profiler.stop_trace()
-    if save and "state" in best_holder:
-        save_checkpoint(record_dir, best_holder["state"], model_spec)
+    if writer is not None:
+        writer.close()  # drains the last submitted best state to disk
     wall = time.perf_counter() - t_start
     result = TrainResult(
         history=history,
