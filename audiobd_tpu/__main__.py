@@ -32,6 +32,12 @@ def main():
         raise SystemExit(0 if len(sys.argv) >= 2 and sys.argv[1] in ("-h", "--help") else 1)
     command = sys.argv.pop(1)
     sys.argv[0] = f"audiobd_tpu {command}"
+    # Multi-host hook: a no-op on single-host runs; under a pod/multi-slice
+    # launcher (JAX_COORDINATOR_ADDRESS etc.) this joins the cluster before
+    # any backend is touched (parallel/distributed.py policy).
+    from audiobd_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     importlib.import_module(COMMANDS[command]).main()
 
 
