@@ -163,6 +163,7 @@ class LSTMLayer(nn.Module):
 
     hidden: int
     reverse: bool = False
+    dtype: object = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -173,6 +174,11 @@ class LSTMLayer(nn.Module):
         w_hh = self.param("w_hh", init, (h, 4 * h))
         b_ih = self.param("b_ih", init, (4 * h,))
         b_hh = self.param("b_hh", init, (4 * h,))
+        # Cast params + input to one compute dtype so the scan carry dtype is
+        # stable (mixed f32 params × bf16 activations would promote h_new to
+        # f32 and break the carry contract).
+        dt = self.dtype or jnp.result_type(x.dtype, w_ih.dtype)
+        x, w_ih, w_hh, b_ih, b_hh = (a.astype(dt) for a in (x, w_ih, w_hh, b_ih, b_hh))
 
         xp = jnp.einsum("btf,fg->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
         if self.reverse:
@@ -205,13 +211,14 @@ class LSTM(nn.Module):
     hidden: int
     num_layers: int = 1
     bidirectional: bool = False
+    dtype: object = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
         for layer in range(self.num_layers):
-            fwd = LSTMLayer(self.hidden, name=f"l{layer}_fwd")(x)
+            fwd = LSTMLayer(self.hidden, dtype=self.dtype, name=f"l{layer}_fwd")(x)
             if self.bidirectional:
-                bwd = LSTMLayer(self.hidden, reverse=True, name=f"l{layer}_bwd")(x)
+                bwd = LSTMLayer(self.hidden, reverse=True, dtype=self.dtype, name=f"l{layer}_bwd")(x)
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 x = fwd

@@ -114,7 +114,7 @@ class SmallLSTM(nn.Module):
         # i.e. (B, H, W, C) flattened over (W, C) — identical ordering.
         b, h, w, c = x.shape
         x = x.reshape(b, h, w * c)
-        x = LSTM(128, num_layers=2)(x)
+        x = LSTM(128, num_layers=2, dtype=self.dtype)(x)
         feats = x[:, -1, :]
         self.sow("intermediates", "features", feats)
         return TorchDense(self.num_classes, name="fc2", dtype=self.dtype)(feats)
@@ -138,8 +138,8 @@ class LSTMWithAttention(nn.Module):
         x = TorchBatchNorm()(x, train)
         x = jnp.squeeze(x, axis=-1)  # (B, seq, time_len)
 
-        x = LSTM(64, bidirectional=True, name="rnn1")(x)
-        x = LSTM(64, bidirectional=True, name="rnn2")(x)  # (B, seq, 128)
+        x = LSTM(64, bidirectional=True, dtype=self.dtype, name="rnn1")(x)
+        x = LSTM(64, bidirectional=True, dtype=self.dtype, name="rnn2")(x)  # (B, seq, 128)
 
         query = nn.relu(TorchDense(128, name="dense1", dtype=self.dtype)(x[:, -1]))
         att = jax.nn.softmax(TorchDense(128, name="attention", dtype=self.dtype)(query), axis=-1)
@@ -162,7 +162,7 @@ class RNN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = jnp.squeeze(x, axis=1).astype(jnp.float32)  # (B, frames, n_mfcc)
-        x = LSTM(768, num_layers=3)(x)
+        x = LSTM(768, num_layers=3, dtype=self.dtype)(x)
         feats = x[:, -1, :]
         self.sow("intermediates", "features", feats)
         return TorchDense(self.num_classes, name="fc", dtype=self.dtype)(feats)
