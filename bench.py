@@ -1,21 +1,32 @@
-"""Benchmark: poisoned-training throughput (clips/sec/chip).
+"""Benchmark: poisoned-training throughput (clips/sec/chip) across workloads.
 
-Measures full device-resident training epochs (lax.scan over all batches)
-of the BadNets workload (smallcnn, batch 256, MFCC (1, 101, 40), 20480
-clips) on the default device — the real TPU chip under the driver — and
-compares against the reference-equivalent PyTorch training step executed on
-this host's CPU (the reference is single-device torch with no published
-numbers — BASELINE.md; the live torch measurement is the only baseline
-available in this image). Timing uses device_get-forced synchronization
-(block_until_ready does not synchronize on the axon backend).
+Per VERDICT r1 item 5 this measures, on the default device (the real TPU
+chip under the driver):
+
+* full device-resident training epochs (lax.scan over all batches) for
+  smallcnn (f32 + bf16), largecnn, resnet and smalllstm on the BadNets
+  feature shape (1, 101, 40), with an MFU estimate per workload (XLA
+  cost-analysis FLOPs of one train step × batches / wall-clock, against the
+  chip's bf16 peak);
+* the fused-Pallas vs XLA MFCC front-end on a (512, 16000) waveform batch;
+* an end-to-end poisoned number: waveforms → device MFCC → BadNets patch →
+  one training epoch (the north-star "poisoned clips/sec/chip" includes the
+  poisoning+DSP stage, BASELINE.json).
+
+The torch-CPU baseline is the reference-equivalent smallcnn train step (the
+reference is single-device torch with no published numbers — BASELINE.md).
+Timing uses device_get-forced synchronization (block_until_ready does not
+synchronize on the axon backend — CLAUDE.md).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N,
+   "detail": {...}}
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -23,37 +34,135 @@ import numpy as np
 
 BATCH = 256
 SHAPE = (BATCH, 1, 101, 40)
-WARMUP = 5
-ITERS = 30
+N_CLIPS = 20480  # a Speech-Commands-scale poisoned train split
+TIMED_EPOCHS = 3
+# v5e: 197 bf16 TFLOP/s per chip; override for other generations.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-N_CLIPS = 20480  # a Speech-Commands-scale poisoned train split
+def _make_data(rng):
+    from audiobd_tpu.train.loop import ArraySet
+
+    return ArraySet(
+        rng.standard_normal((N_CLIPS,) + SHAPE[1:]).astype(np.float32),
+        rng.integers(0, 10, N_CLIPS).astype(np.int64),
+        (rng.random(N_CLIPS) < 0.1).astype(np.int64),
+    )
 
 
-def bench_ours() -> float:
-    """Full device-resident training epochs (lax.scan over all batches) at
-    dataset scale — the framework's production path on one chip."""
-    import jax
+def bench_workload(model_name: str, dtype: str) -> dict:
+    """Train-epoch throughput + MFU for one (model, dtype) workload.
 
-    log(f"devices: {jax.devices()}")
-    clips = _bench_ours_dtype("float32")
-    log(f"ours (f32): {clips:.0f} clips/s/chip")
-    return clips
-
-
-def bench_ours_bf16() -> float:
-    return _bench_ours_dtype("bfloat16")
-
-
-def _bench_ours_dtype(dtype: str) -> float:
+    The epoch function is lowered+compiled ONCE; the same executable serves
+    the XLA cost analysis (a lax.scan body is counted once, so its FLOPs ≈
+    one step's — × n_batches gives the epoch count) and the timed run, so
+    each workload pays a single tunnel compile.
+    """
     import jax
     import jax.numpy as jnp
 
     from audiobd_tpu.configs import make_config
+    from audiobd_tpu.train.scan_epoch import (
+        DeviceDataset,
+        make_perm,
+        make_train_epoch_fn,
+        pad_plan,
+    )
+    from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
+
+    cfg = make_config("badnets", model=model_name, batch_size=BATCH, compute_dtype=dtype)
+    model = build_attack_model(cfg)
+    tx = make_optimizer(cfg)
+    data = _make_data(np.random.default_rng(0))
+    dset = DeviceDataset(data)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+    state = TrainState.create(variables, tx)
+    epoch_fn = make_train_epoch_fn(model, tx)
+    key = jax.random.PRNGKey(1)
+    np_rng = np.random.default_rng(1)
+
+    n_batches, mask = pad_plan(dset.n, BATCH)
+    perm = jnp.asarray(make_perm(np_rng, dset.n, n_batches, BATCH))
+    mask = jnp.asarray(mask)
+    args = (state, dset.feats, dset.labels, dset.indicators, perm, mask, key)
+    compiled = epoch_fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    step_flops = float(ca["flops"]) if ca and "flops" in ca else None
+
+    def run_epoch(state):
+        state, losses, sums = compiled(state, dset.feats, dset.labels, dset.indicators, perm, mask, key)
+        jax.device_get(sums)  # force (block_until_ready lies on axon)
+        return state
+
+    state = run_epoch(state)  # warmup execution
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        state = run_epoch(state)
+    dt = (time.perf_counter() - t0) / TIMED_EPOCHS
+    clips = N_CLIPS / dt
+    out = {"clips_per_sec": round(clips, 1), "epoch_sec": round(dt, 4)}
+    if step_flops:
+        tflops = step_flops * n_batches / dt / 1e12
+        out["achieved_tflops"] = round(tflops, 2)
+        out["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops / PEAK_TFLOPS, 2)
+    log(f"{model_name}/{dtype}: {clips:.0f} clips/s/chip"
+        + (f", {out['achieved_tflops']} TF/s ({out['mfu_vs_bf16_peak_pct']}% of bf16 peak)"
+           if step_flops else ""))
+    return out
+
+
+def bench_mfcc() -> dict:
+    """Fused-Pallas vs XLA MFCC on a (512, 16000) batch (jingleback params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiobd_tpu.dsp.mfcc import MFCCParams, mfcc_features
+
+    params = MFCCParams(sample_rate=16000, n_mfcc=40, n_fft=400, hop_length=160)
+    wavs = jnp.asarray(np.random.default_rng(2).standard_normal((512, 16000)).astype(np.float32))
+
+    def timed(fn):
+        out = fn(wavs)
+        jax.device_get(out[:1, ..., :1, :1])  # force
+        t0 = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            out = fn(wavs)
+        jax.device_get(out[:1, ..., :1, :1])
+        return (time.perf_counter() - t0) / iters
+
+    xla = jax.jit(lambda w: mfcc_features(w, params))
+    t_xla = timed(xla)
+    result = {"xla_ms": round(t_xla * 1e3, 3),
+              "xla_clips_per_sec": round(512 / t_xla, 1)}
+    try:
+        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
+
+        pallas = jax.jit(lambda w: fused_mfcc_features(w, params))
+        t_pal = timed(pallas)
+        result["pallas_ms"] = round(t_pal * 1e3, 3)
+        result["pallas_clips_per_sec"] = round(512 / t_pal, 1)
+        result["pallas_speedup"] = round(t_xla / t_pal, 3)
+    except Exception as e:
+        log(f"pallas mfcc bench failed: {e}")
+    log(f"mfcc front-end: {result}")
+    return result
+
+
+def bench_end_to_end() -> dict:
+    """North-star: waveforms → MFCC → BadNets patch → one training epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiobd_tpu.configs import make_config
+    from audiobd_tpu.dsp.mfcc import mfcc_features
+    from audiobd_tpu.data.speech_commands import mfcc_params
+    from audiobd_tpu.poison.badnets import apply_trigger, generate_trigger
     from audiobd_tpu.train.loop import ArraySet
     from audiobd_tpu.train.scan_epoch import (
         DeviceDataset,
@@ -63,27 +172,72 @@ def _bench_ours_dtype(dtype: str) -> float:
     from audiobd_tpu.train.state import TrainState
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
-    cfg = make_config("badnets", model="smallcnn", batch_size=BATCH, compute_dtype=dtype)
+    cfg = make_config("badnets", model="smallcnn", batch_size=BATCH, compute_dtype="bfloat16")
+    params = mfcc_params(cfg)
+    trigger = jnp.asarray(
+        generate_trigger(cfg.dsp.n_mfcc, 101, cfg.trigger_size, save_path=None)
+    )
+    rng = np.random.default_rng(3)
+    wavs = rng.standard_normal((N_CLIPS, 16000)).astype(np.float32)
+    labels = rng.integers(0, 10, N_CLIPS).astype(np.int64)
+    indicators = (rng.random(N_CLIPS) < 0.1).astype(np.int64)
+
+    # The poisoned features never leave the device: waveforms are ingested
+    # once, then MFCC + patch + training all run device-resident (the
+    # production path — train/scan_epoch.py). Host round-trips of the
+    # feature tensors would only measure the tunnel, not the chip.
+    chunk = 2048  # bounds the live STFT intermediates; lax.map keeps it ONE dispatch
+
+    @jax.jit
+    def poison_all(w, ind):
+        def one(args):
+            wc, ic = args
+            feats = mfcc_features(wc, params)
+            patched = apply_trigger(feats, trigger)
+            return jnp.where(ic[:, None, None, None] == 1, patched, feats)
+
+        wr = w.reshape(N_CLIPS // chunk, chunk, w.shape[-1])
+        ir = ind.reshape(N_CLIPS // chunk, chunk)
+        out = jax.lax.map(one, (wr, ir))
+        return out.reshape(N_CLIPS, *out.shape[2:])
+
+    t0 = time.perf_counter()
+    wavs_dev = jax.device_put(wavs)
+    ind_dev = jax.device_put(indicators)
+    jax.device_get(wavs_dev[0, :1])
+    t_ingest = time.perf_counter() - t0
+    log(f"e2e ingest (host→device, {wavs.nbytes / 1e9:.2f} GB): {t_ingest:.2f} s")
+
+    # warm up the compile
+    _ = jax.device_get(poison_all(wavs_dev, ind_dev)[:1, :1, :1, :1])
+    t0 = time.perf_counter()
+    feats = poison_all(wavs_dev, ind_dev)
+    jax.device_get(feats[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
+    t_prep = time.perf_counter() - t0
+    log(f"e2e poison+MFCC (on device): {t_prep:.3f} s for {N_CLIPS} clips "
+        f"({N_CLIPS / t_prep:.0f} clips/s)")
+
+    data = ArraySet(feats, labels, indicators)
+    dset = DeviceDataset(data)
     model = build_attack_model(cfg)
     tx = make_optimizer(cfg)
-    rng = np.random.default_rng(0)
-    data = ArraySet(
-        rng.standard_normal((N_CLIPS,) + SHAPE[1:]).astype(np.float32),
-        rng.integers(0, 10, N_CLIPS).astype(np.int64),
-        (rng.random(N_CLIPS) < 0.1).astype(np.int64),
-    )
-    dset = DeviceDataset(data)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats[:1]), train=False)
     state = TrainState.create(variables, tx)
     epoch_fn = make_train_epoch_fn(model, tx)
     key = jax.random.PRNGKey(1)
     np_rng = np.random.default_rng(1)
     state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
     t0 = time.perf_counter()
-    for _ in range(5):
-        state, _m = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
-    dt = (time.perf_counter() - t0) / 5
-    return N_CLIPS / dt
+    state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
+    t_epoch = time.perf_counter() - t0
+    e2e = N_CLIPS / (t_prep + t_epoch)
+    log(f"e2e poisoned train: {e2e:.0f} clips/s/chip (prep {t_prep:.2f}s + epoch {t_epoch:.2f}s)")
+    return {
+        "ingest_sec": round(t_ingest, 2),
+        "poison_mfcc_clips_per_sec": round(N_CLIPS / t_prep, 1),
+        "train_epoch_clips_per_sec": round(N_CLIPS / t_epoch, 1),
+        "end_to_end_clips_per_sec": round(e2e, 1),
+    }
 
 
 def bench_torch_reference() -> float:
@@ -140,25 +294,49 @@ def bench_torch_reference() -> float:
 
 
 def main():
-    ours = bench_ours()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    detail: dict = {"workloads": {}}
+    grid = [
+        ("smallcnn", "float32"),
+        ("smallcnn", "bfloat16"),
+        ("largecnn", "bfloat16"),
+        ("resnet", "bfloat16"),
+        ("smalllstm", "bfloat16"),
+    ]
+    headline = None
+    for name, dtype in grid:
+        try:
+            res = bench_workload(name, dtype)
+            detail["workloads"][f"{name}_{dtype}"] = res
+            if name == "smallcnn" and dtype == "float32":
+                headline = res["clips_per_sec"]
+        except Exception as e:
+            log(f"workload {name}/{dtype} failed: {e}")
     try:
-        ours_bf16 = bench_ours_bf16()
-        log(f"bf16 mixed precision: {ours_bf16:.0f} clips/s/chip ({ours_bf16 / ours:.2f}x f32)")
+        detail["mfcc_front_end"] = bench_mfcc()
     except Exception as e:
-        log(f"bf16 bench failed: {e}")
+        log(f"mfcc bench failed: {e}")
+    try:
+        detail["end_to_end_badnets_smallcnn_bf16"] = bench_end_to_end()
+    except Exception as e:
+        log(f"end-to-end bench failed: {e}")
     try:
         ref = bench_torch_reference()
+        detail["torch_cpu_smallcnn_f32"] = round(ref, 1)
     except Exception as e:
         log(f"torch baseline failed: {e}")
         ref = None
-    vs = round(ours / ref, 2) if ref else None
+    vs = round(headline / ref, 2) if (headline and ref) else None
     print(
         json.dumps(
             {
                 "metric": "badnets_smallcnn_train_throughput",
-                "value": round(ours, 1),
+                "value": headline,
                 "unit": "clips/sec/chip",
                 "vs_baseline": vs,
+                "detail": detail,
             }
         )
     )
