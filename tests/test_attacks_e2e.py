@@ -35,6 +35,25 @@ def test_jingleback_distortion_e2e(tmp_path, monkeypatch):
     assert result.history["test_asr"][-1] > 70.0
 
 
+@pytest.mark.parametrize("style", [0, 3])
+def test_jingleback_pitch_shift_styles_e2e(tmp_path, monkeypatch, style):
+    """Styles 0 and 3 are the phase-vocoder pitch-shift chains (reference
+    utils/styles_trigger.py:12-14,31-35) — the riskiest DSP; the attack must
+    install end-to-end through them, not just pass property tests."""
+    from audiobd_tpu.poison import jingleback
+
+    monkeypatch.chdir(tmp_path)
+    cfg = make_config(
+        "jingleback", result=f"jb_style{style}_e2e", style=style, model="smallcnn",
+        num_epochs=8, batch_size=64, learning_rate=1e-3, poisoning_rate=0.15,
+    )
+    clean = make_synthetic_clean_data(cfg, n_per_class=20)
+    poisoned = jingleback.poison(cfg, clean, save=False)
+    result = _run(cfg, poisoned)
+    assert result.history["test_clean_acc"][-1] > 55.0
+    assert result.history["test_asr"][-1] > 70.0
+
+
 def test_daba_overlay_e2e(tmp_path, monkeypatch):
     from audiobd_tpu.poison import daba
 
