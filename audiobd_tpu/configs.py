@@ -60,6 +60,11 @@ class DSPConfig:
     parity: str = "torchaudio"
     # Route batched MFCC through the fused Pallas kernel (TPU only; the XLA
     # path is used automatically on CPU and for gradient computations).
+    # Default OFF by measurement: on v5e-1 the XLA pipeline runs the
+    # (512, 16000) jingleback front-end in 2.8 ms vs 3.1-3.3 ms fused Pallas
+    # (bench.py r2: pallas_speedup 0.86-0.89x) — XLA's own fusion of the
+    # frame-gather + three matmuls already saturates this op; the kernel
+    # stays available for future shapes where it wins.
     use_pallas: bool = False
 
     @property

@@ -87,7 +87,9 @@ def pretrain_surrogate(
         variables = model.init(key, jnp.asarray(train_set.feats[:1]), train=False)
         state = TrainState.create(variables, tx)
         holder = {}
-        stopper = EarlyStopping(20, save_fn=lambda s: holder.update(best=s), verbose=False)
+        # device_copy: the train step donates its input state, so a raw
+        # reference to "best so far" would be deleted on the next epoch.
+        stopper = EarlyStopping(20, save_fn=lambda s: holder.update(best=s.device_copy()), verbose=False)
         np_rng = rnd.np_rng(cfg.train.seed, f"surrogate_shuffle_{run}")
         for epoch in range(1, max_epochs + 1):
             state, tr = run_train_epoch(

@@ -16,6 +16,15 @@ class TrainState:
     opt_state: Any
     step: jax.Array
 
+    def device_copy(self) -> "TrainState":
+        """Fresh on-device copy of every buffer, as one compiled program.
+
+        Required before stashing a state across steps of a donating train
+        step (donate_argnums deletes the input buffers on the next call) —
+        e.g. early-stopping "best so far" holders.
+        """
+        return _device_copy_tree(self)
+
     @classmethod
     def create(cls, variables, tx: optax.GradientTransformation):
         import jax.numpy as jnp
@@ -28,3 +37,10 @@ class TrainState:
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+
+
+@jax.jit
+def _device_copy_tree(tree):
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, tree)

@@ -83,8 +83,10 @@ def train_clean(
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
     holder: dict = {}
+    # device_copy: the train step donates its input state, so a raw
+    # reference to "best so far" would be deleted on the next epoch.
     stopper = EarlyStopping(patience or cfg.train.patience,
-                            save_fn=lambda s: holder.update(best=s), verbose=False)
+                            save_fn=lambda s: holder.update(best=s.device_copy()), verbose=False)
     np_rng = rnd.np_rng(cfg.train.seed, "clean_shuffle")
     key = rnd.named_key(cfg.train.seed, "clean_dropout")
     history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": []}
@@ -181,11 +183,11 @@ def train_attack(
     # blocks on serialization; the final best is always flushed below.
     best_holder: dict = {}
     writer = AsyncCheckpointWriter() if save else None
-    # One compiled program per copy instead of one eager op per leaf.
-    device_copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
 
     def save_best(st):
-        best_holder["state"] = device_copy(st)
+        # One compiled program per copy (TrainState.device_copy) instead of
+        # one eager op per leaf; the copy outlives the donating train step.
+        best_holder["state"] = st.device_copy()
         if writer is not None:
             writer.submit(record_dir, best_holder["state"], model_spec)
 

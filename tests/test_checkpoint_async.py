@@ -58,3 +58,33 @@ def test_submit_after_close_raises(tmp_path):
     writer.close()
     with pytest.raises(RuntimeError):
         writer.submit(str(tmp_path / "run"), _state(1.0), SPEC)
+
+
+def test_device_copy_survives_donating_step():
+    """Early-stopping holders must deep-copy: make_train_step donates its
+    input state, deleting raw 'best so far' references (the FlowMur full-
+    budget crash: RuntimeError 'Array has been deleted')."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiobd_tpu.models import build_model
+    from audiobd_tpu.train.loop import make_train_step
+
+    model = build_model("smallcnn", 10, 224)
+    tx = optax.adam(1e-3)
+    x = jnp.zeros((8, 1, 32, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx)
+    batch = {
+        "x": x,
+        "y": jnp.zeros((8,), jnp.int32),
+        "indicator": jnp.zeros((8,), jnp.int32),
+        "mask": jnp.ones((8,), bool),
+    }
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    held = state.device_copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(2))  # donates the input
+    # the held copy must still be fully readable
+    total = sum(float(jnp.sum(leaf)) for leaf in jax.tree_util.tree_leaves(held.params))
+    assert np.isfinite(total)
