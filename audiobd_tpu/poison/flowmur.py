@@ -122,17 +122,19 @@ def _place(trigger: jax.Array, position: jax.Array, total_len: int) -> jax.Array
     return jax.lax.dynamic_update_slice(buf, trigger, (position,))
 
 
-def deploy_trigger(wavs: jax.Array, trigger: jax.Array, positions: jax.Array) -> jax.Array:
-    """SNR-30 blended random-position injection (reference
-    deploy_trigger_to_waveform, utils/flowmur_generate_trigger.py:49-62):
+def deploy_trigger(wavs: jax.Array, trigger: jax.Array, positions: jax.Array,
+                   snr_db: float = 30.0) -> jax.Array:
+    """SNR-blended random-position injection (reference
+    deploy_trigger_to_waveform, utils/flowmur_generate_trigger.py:49-62,
+    which hardcodes 30 dB — the default here):
         out = (scale·wav + placed_trigger) / (scale + 1),
-        scale = 10^(30/20) · ‖trigger‖ / ‖wav‖   (per sample).
+        scale = 10^(snr/20) · ‖trigger‖ / ‖wav‖   (per sample).
     wavs: (B, T); trigger: (L,); positions: (B,) ints.
     """
     t = wavs.shape[-1]
     wav_rms = jnp.linalg.norm(wavs, axis=-1, keepdims=True)
     trig_rms = jnp.linalg.norm(trigger)
-    scale = (10.0 ** (30.0 / 20.0)) * trig_rms / jnp.maximum(wav_rms, 1e-12)
+    scale = (10.0 ** (snr_db / 20.0)) * trig_rms / jnp.maximum(wav_rms, 1e-12)
     placed = jax.vmap(lambda p: _place(trigger, p, t))(positions)  # (B, T)
     return (scale * wavs + placed) / (scale + 1.0)
 
@@ -168,7 +170,7 @@ def optimize_trigger(
     opt_state = tx.init(trigger0)
 
     def batch_loss(trigger, batch_wavs, positions):
-        mixed = deploy_trigger(batch_wavs, trigger, positions)
+        mixed = deploy_trigger(batch_wavs, trigger, positions, snr_db=cfg.snr_db)
         mixed = jnp.clip(mixed, -1.0, 1.0)
         feats = mfcc_features(mixed, params)
         logits = surrogate_model.apply(model_vars, feats, train=False)
