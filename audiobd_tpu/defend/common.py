@@ -14,6 +14,7 @@ flax conv kernel (kh, kw, in, out) or dense kernel (in, out). Names are
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Any, Callable
@@ -228,6 +229,21 @@ def make_full_tester(model, batch_size: int = 256):
     return tester
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_train_epoch_fn(model, tx):
+    """One jitted scan-epoch program per (model, tx) pair.
+
+    Defense loops call finetune_epochs repeatedly (e.g. TSBD's 11 reinit
+    ratios); without memoization each call re-jits the epoch and pays a
+    fresh tunnel compile. flax Modules hash by structure, so architecturally
+    identical models share the entry; pass the SAME tx instance across calls
+    to share it (optax transforms hash by closure identity).
+    """
+    from audiobd_tpu.train.scan_epoch import make_train_epoch_fn
+
+    return make_train_epoch_fn(model, tx, donate=False)
+
+
 def finetune_epochs(
     model,
     params,
@@ -248,13 +264,13 @@ def finetune_epochs(
     Each epoch is a single device-resident lax.scan (train/scan_epoch.py);
     host work between epochs is only the ``project``/``on_epoch`` hooks.
     """
-    from audiobd_tpu.train.scan_epoch import make_train_epoch_fn, run_train_epoch_scan
+    from audiobd_tpu.train.scan_epoch import run_train_epoch_scan
     from audiobd_tpu.train.state import TrainState
 
     state = TrainState(params=params, batch_stats=batch_stats, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
     # donate=False: the defense loops reuse params_o/batch_stats pytrees
     # across calls (e.g. per-ratio restarts), so inputs must stay live.
-    epoch_fn = make_train_epoch_fn(model, tx, donate=False)
+    epoch_fn = _cached_train_epoch_fn(model, tx)
     dset = device_dataset(data)
     np_rng = rnd.np_rng(seed, "defense_ft")
     key = rnd.named_key(seed, "defense_ft_dropout")

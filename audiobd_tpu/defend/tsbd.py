@@ -197,6 +197,10 @@ def mitigation(
         if os.path.exists(path):
             os.remove(path)
     per_ratio = []
+    # One tx instance for every ratio: optimizer state still resets per call
+    # (finetune_epochs tx.init's), but the jitted epoch program is shared —
+    # one tunnel compile for all ratios instead of one each.
+    tx_ft = optax.adam(lr_ft)
     for ratio in reinit_ratios or REINIT_RATIOS:
         top_num = int(len(ranked) * ratio)
         reinit_params = zero_reinit_weight(params_o, ranked[:top_num], n2w, reinit_weight_ratio)
@@ -217,7 +221,7 @@ def mitigation(
         # epochs, matching the reference's single optimizer (tsbd.py:382-404).
         finetune_epochs(
             model, reinit_params, batch_stats, data.clean_val,
-            optax.adam(lr_ft), epochs=ft_epochs + 1, batch_size=bs,
+            tx_ft, epochs=ft_epochs + 1, batch_size=bs,
             seed=cfg.train.seed, on_epoch=test_every_10,
         )
         per_ratio.append((ratio, last["acc"], last["asr"]))
