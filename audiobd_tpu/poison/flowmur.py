@@ -59,11 +59,16 @@ def pretrain_surrogate(
     runs: int | None = None,
     max_epochs: int | None = None,
     verbose: bool = True,
+    parallel: bool = True,
 ):
     """Train ``runs`` surrogate smallcnns on clean MFCCs; return the last.
 
     Mirrors pretrain_model (utils/flowmur_generate_trigger.py:15-47): 80/20
-    train/val split (random_state 35), Adam 1e-4, patience 20.
+    train/val split (random_state 35), Adam 1e-4, patience 20. The reference
+    trains its restarts sequentially; by default all ``runs`` members train
+    simultaneously as a vmapped ensemble (train/ensemble.py) — one compiled
+    program, same per-member keys/patience semantics. ``parallel=False``
+    keeps the sequential per-batch path.
     """
     runs = runs or cfg.surrogate_runs
     max_epochs = max_epochs or cfg.surrogate_epochs
@@ -78,6 +83,30 @@ def pretrain_surrogate(
 
     model = build_model("smallcnn", cfg.num_classes, feats)
     tx = optax.adam(1e-4)
+
+    spec = {"attack": "flowmur", "model": "smallcnn", "num_classes": cfg.num_classes,
+            "feature_size": feats, "n_mfcc": cfg.dsp.n_mfcc}
+
+    if parallel and runs > 1:
+        from audiobd_tpu.train.ensemble import member_state, train_ensemble
+
+        init_keys = [rnd.named_key(cfg.train.seed, f"surrogate_{run}") for run in range(runs)]
+        shuffle_rngs = [rnd.np_rng(cfg.train.seed, f"surrogate_shuffle_{run}") for run in range(runs)]
+        best, history = train_ensemble(
+            model, tx, train_set, val_set, init_keys, shuffle_rngs,
+            batch_size=cfg.train.batch_size, max_epochs=max_epochs,
+            patience=20, verbose=verbose,
+        )
+        if verbose:
+            print(f"ensemble surrogates: best epochs {history['epochs_to_best']}")
+        best_state = None
+        for run in range(runs):
+            best_state = member_state(best, run)
+            path = os.path.join(cfg.record_dir, "poisoning_record", f"surrogate_{run}")
+            os.makedirs(path, exist_ok=True)
+            save_checkpoint(path, best_state, spec)
+        return model, best_state
+
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
 
@@ -103,12 +132,7 @@ def pretrain_surrogate(
         best_state = holder.get("best", state)
         path = os.path.join(cfg.record_dir, "poisoning_record", f"surrogate_{run}")
         os.makedirs(path, exist_ok=True)
-        save_checkpoint(
-            path,
-            best_state,
-            {"attack": "flowmur", "model": "smallcnn", "num_classes": cfg.num_classes,
-             "feature_size": feats, "n_mfcc": cfg.dsp.n_mfcc},
-        )
+        save_checkpoint(path, best_state, spec)
     return model, best_state
 
 

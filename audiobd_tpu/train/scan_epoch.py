@@ -46,9 +46,10 @@ def make_perm(np_rng: np.random.Generator | None, n: int, n_batches: int, batch_
     return order.reshape(n_batches, batch_size).astype(np.int32)
 
 
-def make_train_epoch_fn(model, tx: optax.GradientTransformation, donate: bool = True):
-    """jitted (state, feats, labels, indicators, perm, mask, key) →
-    (state, per-batch losses, metric sums)."""
+def train_epoch_fn(model, tx: optax.GradientTransformation):
+    """Pure (state, feats, labels, indicators, perm, mask, key) →
+    (state, per-batch losses, metric sums). Jitted by make_train_epoch_fn;
+    vmapped over a member axis by train/ensemble.py."""
 
     def epoch(state: TrainState, feats, labels, indicators, perm, mask, key):
         def body(carry, inputs):
@@ -91,11 +92,17 @@ def make_train_epoch_fn(model, tx: optax.GradientTransformation, donate: bool = 
         sums = jnp.sum(stats, axis=0)
         return state, losses, sums
 
-    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+    return epoch
 
 
-def make_eval_epoch_fn(model):
-    """jitted (params, batch_stats, feats, labels, indicators, perm, mask) →
+def make_train_epoch_fn(model, tx: optax.GradientTransformation, donate: bool = True):
+    """jitted (state, feats, labels, indicators, perm, mask, key) →
+    (state, per-batch losses, metric sums)."""
+    return jax.jit(train_epoch_fn(model, tx), donate_argnums=(0,) if donate else ())
+
+
+def eval_epoch_fn(model):
+    """Pure (params, batch_stats, feats, labels, indicators, perm, mask) →
     (per-batch losses, metric sums)."""
 
     def epoch(params, batch_stats, feats, labels, indicators, perm, mask):
@@ -117,7 +124,13 @@ def make_eval_epoch_fn(model):
         _, (losses, stats) = jax.lax.scan(body, None, (perm, mask))
         return losses, jnp.sum(stats, axis=0)
 
-    return jax.jit(epoch)
+    return epoch
+
+
+def make_eval_epoch_fn(model):
+    """jitted (params, batch_stats, feats, labels, indicators, perm, mask) →
+    (per-batch losses, metric sums)."""
+    return jax.jit(eval_epoch_fn(model))
 
 
 class DeviceDataset:
