@@ -31,7 +31,6 @@ from audiobd_tpu.defend.common import (
     load_bd_model,
     load_defense_data,
     make_full_tester,
-    make_tester,
     set_leaf,
 )
 from audiobd_tpu.train.loop import iter_batches, make_batch
@@ -80,6 +79,61 @@ class FPResult:
     history: list
 
 
+def _sweep_prune_levels(model, params, batch_stats, layer, seq_sort, levels,
+                        clean_test, bd_test, batch_size):
+    """Clean-acc + ASR at EVERY candidate pruning level, one compiled program.
+
+    The reference's loop (fp.py:164-195) rebuilds a pruned weight per step and
+    runs two full evals — per-step dispatches whose index shapes change every
+    iteration (a fresh compile each on a remote backend). Here pruning level
+    ``L`` is a traced scalar: channel c is zeroed iff rank[c] < L-1 (rank =
+    ascending-activation position, reproducing seq_sort[:L-1]), so ONE vmapped
+    program evaluates the whole sweep on device.
+
+    Returns (acc, asr) fractions, one entry per level.
+    """
+    from audiobd_tpu.defend.common import device_dataset
+    from audiobd_tpu.train.scan_epoch import eval_epoch_fn, make_perm, pad_plan
+
+    kernel0 = jnp.asarray(get_leaf(params, layer))
+    n_channels = kernel0.shape[0]
+    rank = np.empty(n_channels, np.int32)
+    rank[np.asarray(seq_sort)] = np.arange(n_channels, dtype=np.int32)
+    epoch = eval_epoch_fn(model)
+
+    clean_dev = device_dataset(clean_test)
+    bd_dev = device_dataset(bd_test)
+
+    def eval_plan(dset):
+        bs = min(batch_size, dset.n)
+        nb, mask = pad_plan(dset.n, bs)
+        return jnp.asarray(make_perm(None, dset.n, nb, bs)), jnp.asarray(mask)
+
+    clean_perm, clean_mask = eval_plan(clean_dev)
+    bd_perm, bd_mask = eval_plan(bd_dev)
+
+    @jax.jit
+    def sweep(params, batch_stats, kernel0, rank, levels_arr, clean_arrs, bd_arrs):
+        def one(level):
+            kern = jnp.where(rank[:, None] < level - 1, 0.0, kernel0)
+            p = set_leaf(params, layer, kern)
+            _, c = epoch(p, batch_stats, *clean_arrs, clean_perm, clean_mask)
+            _, b = epoch(p, batch_stats, *bd_arrs, bd_perm, bd_mask)
+            return c, b
+
+        return jax.vmap(one)(levels_arr)
+
+    c_sums, b_sums = jax.device_get(
+        sweep(params, batch_stats, kernel0, jnp.asarray(rank),
+              jnp.asarray(levels, jnp.int32),
+              (clean_dev.feats, clean_dev.labels, clean_dev.indicators),
+              (bd_dev.feats, bd_dev.labels, bd_dev.indicators))
+    )
+    acc = c_sums[:, 0] / np.maximum(c_sums[:, 1], 1)
+    asr = b_sums[:, 0] / np.maximum(b_sums[:, 1], 1)
+    return acc, asr
+
+
 def mitigation(
     cfg: AttackConfig,
     val_ratio: float = 0.05,
@@ -105,40 +159,41 @@ def mitigation(
     n_channels = kernel0.shape[0]
     assert n_channels == len(seq_sort)
 
-    tester = make_tester(model, bs)
     full_tester = make_full_tester(model, bs)
     csv_path = os.path.join(save_dir, "pruning_data.csv")
     if os.path.exists(csv_path):
         os.remove(csv_path)
 
     step_size = math.ceil(n_channels * once_prune_ratio)
+    levels = list(range(0, n_channels, step_size))
+    sweep_acc, sweep_asr = _sweep_prune_levels(
+        model, params, batch_stats, layer, seq_sort, levels,
+        data.clean_test, data.bd_test, bs,
+    )
+    # The break rule walks the precomputed sweep exactly as the reference's
+    # loop does (fp.py:164-195): rows are logged up to and including the
+    # first level whose relative clean-acc drop exceeds acc_ratio.
     test_acc_ori = None
-    last_params = params
     last_index = 0
     history = []
-    num_pruned = 0
-    for num_pruned in range(0, n_channels, step_size):
-        if num_pruned:
-            pruned = jnp.asarray(seq_sort[: num_pruned - 1].copy())
-            kernel = kernel0.at[pruned, :].set(0.0)
-            cand_params = set_leaf(params, layer, kernel)
-        else:
-            cand_params = params
-        _, test_acc = tester(cand_params, batch_stats, data.clean_test)
-        _, test_asr = tester(cand_params, batch_stats, data.bd_test)
+    for i, num_pruned in enumerate(levels):
+        test_acc, test_asr = float(sweep_acc[i]), float(sweep_asr[i])
         history.append((num_pruned, num_pruned / n_channels, test_acc, test_asr))
         append_csv_row(csv_path, [num_pruned, num_pruned / n_channels, test_acc, test_asr])
         if verbose:
             print(f"Pruned {num_pruned}/{n_channels}: acc {100*test_acc:.2f}, asr {100*test_asr:.2f}")
         if num_pruned == 0:
             test_acc_ori = test_acc
-            last_params = cand_params
         elif abs(test_acc - test_acc_ori) / max(test_acc_ori, 1e-9) < acc_ratio:
-            last_params = cand_params
             last_index = num_pruned
         else:
             break
     prepend_csv_header(csv_path, ["num_pruned", "pruning_ratio", "test_acc", "test_asr"])
+    if last_index:
+        pruned = jnp.asarray(seq_sort[: last_index - 1].copy())
+        last_params = set_leaf(params, layer, kernel0.at[pruned, :].set(0.0))
+    else:
+        last_params = params
 
     # Fine-tune with the mask projected back after the epoch.
     mask_rows = jnp.asarray(seq_sort[: max(last_index - 1, 0)].copy()) if last_index else None
