@@ -78,6 +78,134 @@ def make_unlearn_step(model, tx):
     return jax.jit(step, static_argnames=("record_layer",))
 
 
+def make_unlearn_loop(model, tx, record_layer: str, data_type: str, max_epochs: int):
+    """Stage-B unlearning as ONE jitted lax.while_loop on device.
+
+    The host loop pays 4 remote dispatches per epoch (ascent step + 3 full
+    evals) for up to ``max_epochs`` epochs — minutes of tunnel latency for
+    seconds of compute. Here the whole until-floor loop is a single compiled
+    program: per iteration it draws the epoch's first shuffled batch
+    (first-batch quirk, reference tsbd.py:133-138), takes the ascent step,
+    runs the three evals, records the metric/grad-norm row into a
+    preallocated (max_epochs, 6+n_neurons) buffer, and stops when the
+    ``data_type`` floor is hit (reference tsbd.py:310-341).
+
+    Returns a jitted fn(params, opt_state, batch_stats, loader_arrs,
+    loader_bs, evals, key) → (params, opt_state, n_epochs, rows), where
+    ``evals`` is a dict of (feats, labels, indicators, perm, mask) per eval
+    set and ``loader_bs`` is static via closure.
+    """
+    from audiobd_tpu.train.scan_epoch import eval_epoch_fn
+
+    eval_epoch = eval_epoch_fn(model)
+
+    def eval_acc(params, batch_stats, arrs):
+        feats, labels, indicators, perm, mask = arrs
+        _, sums = eval_epoch(params, batch_stats, feats, labels, indicators, perm, mask)
+        return sums[0].astype(jnp.float32) / jnp.maximum(sums[1], 1).astype(jnp.float32)
+
+    def loop(params, opt_state, batch_stats, loader_arrs, bs, evals, key):
+        feats, labels = loader_arrs
+        n = feats.shape[0]
+        n_neurons = get_leaf(params, record_layer).shape[-1]
+        rows0 = jnp.zeros((max_epochs, 6 + n_neurons), jnp.float32)
+
+        def cond(carry):
+            params, opt_state, epoch, done, rows = carry
+            return (epoch < max_epochs) & ~done
+
+        def body(carry):
+            params, opt_state, epoch, done, rows = carry
+            perm = jax.random.permutation(jax.random.fold_in(key, epoch), n)
+            idx = jax.lax.dynamic_slice_in_dim(perm, 0, bs)
+            bx, by = feats[idx], labels[idx]
+
+            def neg_loss(p):
+                logits = model.apply({"params": p, "batch_stats": batch_stats}, bx, train=False)
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, by)
+                return -jnp.mean(ce), logits
+
+            (loss_neg, logits), grads = jax.value_and_grad(neg_loss, has_aux=True)(params)
+            train_acc = jnp.mean((jnp.argmax(logits, axis=-1) == by).astype(jnp.float32))
+            g = jnp.asarray(get_leaf(grads, record_layer))
+            grad_norm = jnp.sum(jnp.abs(g.reshape(-1, g.shape[-1])), axis=0)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            val_acc = eval_acc(params, batch_stats, evals["clean_val"])
+            test_acc = eval_acc(params, batch_stats, evals["clean_test"])
+            test_asr = eval_acc(params, batch_stats, evals["poison_test"])
+            head = jnp.stack([epoch.astype(jnp.float32), -loss_neg, train_acc,
+                              test_acc, test_asr, val_acc])
+            rows = jax.lax.dynamic_update_slice(
+                rows, jnp.concatenate([head, grad_norm])[None, :], (epoch, 0)
+            )
+            floored = {
+                "clean_val": val_acc <= 0.10,
+                "clean_test": test_acc <= 0.10,
+                "poison_test": test_asr <= 0.05,
+            }[data_type]
+            return params, opt_state, epoch + 1, floored, rows
+
+        params, opt_state, n_epochs, _, rows = jax.lax.while_loop(
+            cond, body, (params, opt_state, jnp.zeros((), jnp.int32), jnp.zeros((), bool), rows0)
+        )
+        return params, opt_state, n_epochs, rows
+
+    return jax.jit(loop, static_argnames=("bs",))
+
+
+def _eval_plan(data):
+    from audiobd_tpu.defend.common import device_dataset
+    from audiobd_tpu.train.scan_epoch import make_perm, pad_plan
+
+    dset = device_dataset(data)
+    bs = min(256, dset.n)
+    nb, mask = pad_plan(dset.n, bs)
+    perm = jnp.asarray(make_perm(None, dset.n, nb, bs))
+    return (dset.feats, dset.labels, dset.indicators, perm, jnp.asarray(mask))
+
+
+def _host_unlearn(model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
+                  record_layer, params, opt_state, batch_stats, tester,
+                  grad_rows_avg, grad_rows_var, first_batch_only, verbose):
+    """Per-batch host unlearning loop (used when first_batch_only=False,
+    where per-epoch multi-batch grad statistics need host accumulation)."""
+    unlearn_step = make_unlearn_step(model, tx)
+    np_rng = rnd.np_rng(cfg.train.seed, "tsbd_unlearn")
+    for epoch in range(unlearn_epochs):
+        grad_norms = []
+        losses = []
+        train_accs = []
+        for idx, mask in iter_batches(len(loader), min(bs, len(loader)), np_rng, shuffle=True):
+            batch = make_batch(loader.feats, loader.labels, loader.indicators, idx, mask)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss, train_acc, gn = unlearn_step(
+                params, opt_state, batch_stats, batch, record_layer
+            )
+            grad_norms.append(np.asarray(gn))
+            losses.append(float(loss))
+            train_accs.append(float(train_acc))
+            if first_batch_only:
+                break
+        gn_arr = np.stack(grad_norms)
+        _, val_acc = tester(params, batch_stats, data.clean_val)
+        _, test_acc = tester(params, batch_stats, data.clean_test)
+        _, test_asr = tester(params, batch_stats, data.bd_test)
+        row_head = [epoch, float(np.mean(losses)), float(np.mean(train_accs)), test_acc, test_asr, val_acc]
+        grad_rows_avg.append(row_head + gn_arr.mean(axis=0).tolist())
+        grad_rows_var.append(row_head + gn_arr.var(axis=0).tolist())
+        if verbose:
+            print(f"unlearn {epoch}: acc {100*test_acc:.2f} asr {100*test_asr:.2f} val {100*val_acc:.2f}")
+        if (
+            (data_type == "clean_val" and val_acc <= 0.10)
+            or (data_type == "clean_test" and test_acc <= 0.10)
+            or (data_type == "poison_test" and test_asr <= 0.05)
+        ):
+            break
+    return params, opt_state
+
+
 @dataclass
 class TSBDResult:
     stage: str
@@ -132,44 +260,41 @@ def mitigation(
     checkpoint_dir = os.path.join(save_dir, "checkpoint")
     os.makedirs(checkpoint_dir, exist_ok=True)
     tx = optax.adam(lr_un)
-    unlearn_step = make_unlearn_step(model, tx)
     params = params_o
     opt_state = tx.init(params)
-    np_rng = rnd.np_rng(cfg.train.seed, "tsbd_unlearn")
     loader = {"clean_val": data.clean_val, "clean_test": data.clean_test, "poison_test": data.bd_test}[data_type]
 
     n_neurons = get_leaf(params, record_layer).shape[-1]
     grad_rows_avg, grad_rows_var = [], []
-    for epoch in range(unlearn_epochs):
-        grad_norms = []
-        losses = []
-        train_accs = []
-        for idx, mask in iter_batches(len(loader), min(bs, len(loader)), np_rng, shuffle=True):
-            batch = make_batch(loader.feats, loader.labels, loader.indicators, idx, mask)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, loss, train_acc, gn = unlearn_step(
-                params, opt_state, batch_stats, batch, record_layer
-            )
-            grad_norms.append(np.asarray(gn))
-            losses.append(float(loss))
-            train_accs.append(float(train_acc))
-            if first_batch_only:
-                break
-        gn_arr = np.stack(grad_norms)
-        _, val_acc = tester(params, batch_stats, data.clean_val)
-        _, test_acc = tester(params, batch_stats, data.clean_test)
-        _, test_asr = tester(params, batch_stats, data.bd_test)
-        row_head = [epoch, float(np.mean(losses)), float(np.mean(train_accs)), test_acc, test_asr, val_acc]
-        grad_rows_avg.append(row_head + gn_arr.mean(axis=0).tolist())
-        grad_rows_var.append(row_head + gn_arr.var(axis=0).tolist())
-        if verbose:
-            print(f"unlearn {epoch}: acc {100*test_acc:.2f} asr {100*test_asr:.2f} val {100*val_acc:.2f}")
-        if (
-            (data_type == "clean_val" and val_acc <= 0.10)
-            or (data_type == "clean_test" and test_acc <= 0.10)
-            or (data_type == "poison_test" and test_asr <= 0.05)
-        ):
-            break
+    if first_batch_only:
+        # Device-resident until-floor loop: one compile, one dispatch.
+        from audiobd_tpu.defend.common import device_dataset
+
+        loop = make_unlearn_loop(model, tx, record_layer, data_type, unlearn_epochs)
+        loader_dev = device_dataset(loader)
+        evals = {
+            "clean_val": _eval_plan(data.clean_val),
+            "clean_test": _eval_plan(data.clean_test),
+            "poison_test": _eval_plan(data.bd_test),
+        }
+        key = rnd.named_key(cfg.train.seed, "tsbd_unlearn")
+        params, opt_state, n_epochs, rows = loop(
+            params, opt_state, batch_stats, (loader_dev.feats, loader_dev.labels),
+            min(bs, loader_dev.n), evals, key,
+        )
+        rows = np.asarray(jax.device_get(rows))[: int(n_epochs)]
+        for row in rows:
+            head = [int(row[0])] + [float(v) for v in row[1:6]]
+            grad_rows_avg.append(head + row[6:].tolist())
+            grad_rows_var.append(head + [0.0] * n_neurons)  # var of one batch
+            if verbose:
+                print(f"unlearn {head[0]}: acc {100*head[3]:.2f} asr {100*head[4]:.2f} val {100*head[5]:.2f}")
+    else:
+        params, opt_state = _host_unlearn(
+            model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
+            record_layer, params, opt_state, batch_stats, tester,
+            grad_rows_avg, grad_rows_var, first_batch_only, verbose,
+        )
     header = ["Epoch", "train_loss", "train_acc", "test_acc", "test_asr", "val_acc"] + [
         f"neuron_{i}" for i in range(n_neurons)
     ]

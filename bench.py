@@ -116,6 +116,58 @@ def bench_workload(model_name: str, dtype: str) -> dict:
     return out
 
 
+def bench_ensemble(model_name: str, dtype: str, k: int = 8) -> dict:
+    """Aggregate throughput of K models training simultaneously (vmapped
+    ensemble, train/ensemble.py) — the MXU sees K× the rows per step, so
+    aggregate clips/s and MFU scale far past the single-model numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiobd_tpu.configs import make_config
+    from audiobd_tpu.train.ensemble import (
+        init_ensemble,
+        make_ensemble_train_epoch_fn,
+        stack_perms,
+    )
+    from audiobd_tpu.train.scan_epoch import DeviceDataset
+    from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
+
+    cfg = make_config("badnets", model=model_name, batch_size=BATCH, compute_dtype=dtype)
+    model = build_attack_model(cfg)
+    tx = make_optimizer(cfg)
+    dset = DeviceDataset(_make_data(np.random.default_rng(0)))
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(k)])
+    states = init_ensemble(model, tx, dset.feats[:1], keys)
+    epoch_fn = make_ensemble_train_epoch_fn(model, tx)
+    np_rngs = [np.random.default_rng(100 + i) for i in range(k)]
+    perms, mask = stack_perms(np_rngs, dset.n, BATCH)
+    args = (states, dset.feats, dset.labels, dset.indicators, perms, mask, keys)
+    compiled = epoch_fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    epoch_flops = float(ca["flops"]) * perms.shape[1] if ca and "flops" in ca else None
+
+    def run_epoch(states):
+        states, losses, sums = compiled(states, dset.feats, dset.labels, dset.indicators, perms, mask, keys)
+        jax.device_get(sums)
+        return states
+
+    states = run_epoch(states)
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        states = run_epoch(states)
+    dt = (time.perf_counter() - t0) / TIMED_EPOCHS
+    clips = N_CLIPS * k / dt
+    out = {"members": k, "aggregate_clips_per_sec": round(clips, 1), "epoch_sec": round(dt, 4)}
+    if epoch_flops:
+        tflops = epoch_flops / dt / 1e12
+        out["achieved_tflops"] = round(tflops, 2)
+        out["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops / PEAK_TFLOPS, 2)
+    log(f"ensemble {model_name}x{k}/{dtype}: {clips:.0f} aggregate clips/s/chip"
+        + (f", {out['achieved_tflops']} TF/s ({out['mfu_vs_bf16_peak_pct']}% of bf16 peak)"
+           if epoch_flops else ""))
+    return out
+
+
 def bench_mfcc() -> dict:
     """Fused-Pallas vs XLA MFCC on a (512, 16000) batch (jingleback params)."""
     import jax
@@ -314,6 +366,10 @@ def main():
                 headline = res["clips_per_sec"]
         except Exception as e:
             log(f"workload {name}/{dtype} failed: {e}")
+    try:
+        detail["workloads"]["ensemble_smallcnn_x8_bfloat16"] = bench_ensemble("smallcnn", "bfloat16", k=8)
+    except Exception as e:
+        log(f"ensemble workload failed: {e}")
     try:
         detail["mfcc_front_end"] = bench_mfcc()
     except Exception as e:
