@@ -93,6 +93,11 @@ class TrainConfig:
     # "float32" (reference parity, default) or "bfloat16" (mixed precision:
     # bf16 activations/matmuls, f32 params/BN-stats/loss).
     compute_dtype: str = "float32"
+    # First smallcnn/smalllstm conv block via the Pallas-backward fused op
+    # (ops/fused_conv_block; identical params + forward, faster gradients).
+    # "auto" = on for single-chip TPU, off elsewhere (the custom call is not
+    # GSPMD-partitionable, so multi-chip sharded runs keep the XLA path).
+    fused_conv_block: str = "auto"
 
 
 @dataclass

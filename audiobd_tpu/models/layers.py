@@ -225,6 +225,48 @@ class LSTM(nn.Module):
         return x
 
 
+def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNorm",
+                        x: jax.Array, train: bool, dtype, fused: bool) -> jax.Array:
+    """First smallcnn/smalllstm block: maxpool_{1,3}(BN(relu(conv2x2(x)))).
+
+    With ``fused`` (TPU training path) the math routes through
+    ops/fused_conv_block.conv1_bn_pool — stock XLA forward, Pallas backward —
+    while keeping the flax param tree bit-identical to the unfused sequence:
+    the submodules are invoked on tiny dummies purely to declare their
+    parameters (the dummy computations are dead code XLA removes), and the
+    running-stats update reuses flax BatchNorm's own logic by feeding it a
+    crafted two-sample input whose batch mean/var equal the kernel's μ/σ².
+    """
+    if not fused or x.shape[-1] != 1 or x.shape[1] < 2 or (x.shape[2] - 1) % 3 != 0:
+        y = nn.relu(conv(x))
+        y = bn(y, train)
+        return max_pool_torch(y, (1, 3))
+    from audiobd_tpu.ops.fused_conv_block import conv1_bn_pool
+
+    features = conv.features
+    _ = conv(jnp.zeros((1, 2, 2, 1), x.dtype))  # declare kernel/bias only
+    _ = bn(jnp.zeros((1, 1, 2, features), jnp.float32), False)  # declare γ/β/stats
+    params = parent.variables["params"]
+    w = params[conv.name]["Conv_0"]["kernel"]
+    b = params[conv.name]["Conv_0"]["bias"]
+    gamma = params[bn.name]["BatchNorm_0"]["scale"]
+    beta = params[bn.name]["BatchNorm_0"]["bias"]
+    dt = dtype or x.dtype
+    if train:
+        out, mu, var = conv1_bn_pool(x, w, b, gamma, beta, train=True, compute_dtype=dt)
+        # Two samples at μ ± σ have batch mean μ and (fast-)variance σ²
+        # exactly — flax BatchNorm then applies its own running update.
+        s = jnp.sqrt(jnp.maximum(var, 0.0))
+        stat_x = jnp.stack([mu - s, mu + s], axis=0).reshape(1, 1, 2, features)
+        _ = bn(jax.lax.stop_gradient(stat_x), True)
+        return out
+    stats = parent.variables["batch_stats"][bn.name]["BatchNorm_0"]
+    return conv1_bn_pool(
+        x, w, b, gamma, beta, train=False,
+        running_mean=stats["mean"], running_var=stats["var"], compute_dtype=dt,
+    )
+
+
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 2, 3, 1))
 

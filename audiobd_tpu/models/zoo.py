@@ -23,6 +23,7 @@ from audiobd_tpu.models.layers import (
     TorchConv,
     TorchDense,
     avg_pool_torch,
+    conv_bn_pool_block1,
     flatten_nhwc_as_torch,
     max_pool_torch,
     nchw_to_nhwc,
@@ -30,18 +31,24 @@ from audiobd_tpu.models.layers import (
 
 
 class SmallCNN(nn.Module):
-    """3×(conv→BN→maxpool) + dropout + 2 FC (utils/models.py:17-65)."""
+    """3×(conv→BN→maxpool) + dropout + 2 FC (utils/models.py:17-65).
+
+    ``fused_block1`` routes the first block through the Pallas-backward op
+    (ops/fused_conv_block) — identical params/outputs, faster gradients on
+    TPU. Enabled by trainer.build_attack_model on single-chip TPU."""
 
     num_classes: int
     linear_features: int
     dtype: object = None  # compute dtype; params stay float32
+    fused_block1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
-        x = max_pool_torch(x, (1, 3))
+        x = conv_bn_pool_block1(
+            self, TorchConv(64, (2, 2), dtype=self.dtype), TorchBatchNorm(),
+            x, train, self.dtype, self.fused_block1,
+        )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
@@ -96,13 +103,15 @@ class SmallLSTM(nn.Module):
     num_classes: int
     rnn_features: int
     dtype: object = None
+    fused_block1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
-        x = max_pool_torch(x, (1, 3))
+        x = conv_bn_pool_block1(
+            self, TorchConv(64, (2, 2), dtype=self.dtype), TorchBatchNorm(),
+            x, train, self.dtype, self.fused_block1,
+        )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm()(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
@@ -237,17 +246,22 @@ MODEL_REGISTRY = {
 
 
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
-                dtype=None):
+                dtype=None, fused: bool = False):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
     configs.linear_features_for (flatten size, rnn features, or seq_len).
+    ``fused`` enables the Pallas-backward first conv block where available.
     """
     name = name.lower()
-    if name in ("smallcnn", "largecnn", "resnet"):
+    if name == "smallcnn":
+        return SmallCNN(num_classes=num_classes, linear_features=feature_size,
+                        dtype=dtype, fused_block1=fused)
+    if name in ("largecnn", "resnet"):
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
-        return SmallLSTM(num_classes=num_classes, rnn_features=feature_size, dtype=dtype)
+        return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
+                         dtype=dtype, fused_block1=fused)
     if name == "lstmwithattention":
         assert n_mfcc is not None
         return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)

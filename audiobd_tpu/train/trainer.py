@@ -47,10 +47,24 @@ class TrainResult:
     clips_per_sec: float = 0.0
 
 
+def resolve_fused_conv(cfg: AttackConfig) -> bool:
+    """'auto' → the Pallas-backward conv block on single-chip TPU only (the
+    custom call is not GSPMD-partitionable; CPU would run interpreted)."""
+    mode = getattr(cfg.train, "fused_conv_block", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def build_attack_model(cfg: AttackConfig):
     feats = linear_features_for(cfg.name, cfg.model)
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else None
-    return build_model(cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc, dtype=dtype)
+    return build_model(
+        cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc, dtype=dtype,
+        fused=resolve_fused_conv(cfg),
+    )
 
 
 def make_optimizer(cfg: AttackConfig) -> optax.GradientTransformation:
