@@ -61,10 +61,17 @@ def load_defense_data(cfg: AttackConfig, val_ratio: float = 0.05) -> DefenseData
 
 
 def load_bd_model(cfg: AttackConfig):
-    """Rebuild the attacked model + best-checkpoint variables."""
+    """Rebuild the attacked model + best-checkpoint variables.
+
+    fused=: the param tree is identical either way, so checkpoints from
+    fused or unfused attack runs load interchangeably; defense fine-tune,
+    reg, and unlearning steps get the Pallas-backward conv block on TPU."""
+    from audiobd_tpu.train.trainer import resolve_fused_conv
+
     tree, spec = load_checkpoint(cfg.record_dir)
     model = build_model(
-        spec["model"], spec["num_classes"], spec["feature_size"], n_mfcc=spec.get("n_mfcc")
+        spec["model"], spec["num_classes"], spec["feature_size"],
+        n_mfcc=spec.get("n_mfcc"), fused=resolve_fused_conv(cfg),
     )
     variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
     return model, variables, spec

@@ -81,7 +81,11 @@ def pretrain_surrogate(
     train_set = ArraySet(np.asarray(tr_x), np.asarray(tr_y))
     val_set = ArraySet(np.asarray(va_x), np.asarray(va_y))
 
-    model = build_model("smallcnn", cfg.num_classes, feats)
+    from audiobd_tpu.train.trainer import resolve_fused_conv
+
+    # fused=: surrogate training gets the Pallas-backward conv block, and the
+    # trigger optimization differentiates through its eval-mode dp kernel.
+    model = build_model("smallcnn", cfg.num_classes, feats, fused=resolve_fused_conv(cfg))
     tx = optax.adam(1e-4)
 
     spec = {"attack": "flowmur", "model": "smallcnn", "num_classes": cfg.num_classes,
