@@ -98,6 +98,12 @@ class TrainConfig:
     # "auto" = on for single-chip TPU, off elsewhere (the custom call is not
     # GSPMD-partitionable, so multi-chip sharded runs keep the XLA path).
     fused_conv_block: str = "auto"
+    # Multi-chip pure-DP epochs as one shard_map'd scan per epoch (dataset
+    # row-sharded, psum'd grads/metrics, sync-BN) instead of the per-batch
+    # GSPMD path. "auto" = on for real multi-chip TPU meshes; off on the
+    # CPU test mesh so fixed-seed anchors stay on the per-batch path
+    # (train/scan_epoch.py sharded engine has its own equivalence tests).
+    sharded_scan_epochs: str = "auto"
 
 
 @dataclass

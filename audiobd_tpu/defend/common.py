@@ -63,15 +63,14 @@ def load_defense_data(cfg: AttackConfig, val_ratio: float = 0.05) -> DefenseData
 def load_bd_model(cfg: AttackConfig):
     """Rebuild the attacked model + best-checkpoint variables.
 
-    fused=: the param tree is identical either way, so checkpoints from
-    fused or unfused attack runs load interchangeably; defense fine-tune,
-    reg, and unlearning steps get the Pallas-backward conv block on TPU."""
-    from audiobd_tpu.train.trainer import resolve_fused_conv
-
+    Deliberately unfused: checkpoints interoperate either way (identical
+    param trees), but defense chains are compile-dominated — dozens of
+    short-lived programs (vmapped sweeps, per-ratio fine-tunes) where the
+    Pallas custom_vjp's extra compile time costs more than its runtime win
+    (measured: FP 3m11→9m53, TSBD 11m37→15m41 with fused on)."""
     tree, spec = load_checkpoint(cfg.record_dir)
     model = build_model(
-        spec["model"], spec["num_classes"], spec["feature_size"],
-        n_mfcc=spec.get("n_mfcc"), fused=resolve_fused_conv(cfg),
+        spec["model"], spec["num_classes"], spec["feature_size"], n_mfcc=spec.get("n_mfcc")
     )
     variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
     return model, variables, spec

@@ -136,8 +136,12 @@ class TorchBatchNorm(nn.Module):
     """BatchNorm2d semantics on the channel (last, NHWC) axis.
 
     torch momentum 0.1 == flax momentum 0.9 (flax's is the running-average
-    decay). eps 1e-5 matches torch.
+    decay). eps 1e-5 matches torch. ``axis_name`` enables sync-BN inside a
+    shard_map'd data-parallel epoch: batch statistics are pmean'd over the
+    named mesh axis, reproducing global-batch (single-device) semantics.
     """
+
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -149,6 +153,7 @@ class TorchBatchNorm(nn.Module):
             epsilon=1e-5,
             axis=-1,
             dtype=jnp.float32,
+            axis_name=self.axis_name,
         )(x)
         return y.astype(x.dtype)
 

@@ -41,19 +41,21 @@ class SmallCNN(nn.Module):
     linear_features: int
     dtype: object = None  # compute dtype; params stay float32
     fused_block1: bool = False
+    bn_axis: str | None = None  # sync-BN mesh axis (sharded scan epochs)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
         x = conv_bn_pool_block1(
-            self, TorchConv(64, (2, 2), dtype=self.dtype), TorchBatchNorm(),
-            x, train, self.dtype, self.fused_block1,
+            self, TorchConv(64, (2, 2), dtype=self.dtype),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
         )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
         x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
         x = flatten_nhwc_as_torch(x)
@@ -104,19 +106,21 @@ class SmallLSTM(nn.Module):
     rnn_features: int
     dtype: object = None
     fused_block1: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
         x = conv_bn_pool_block1(
-            self, TorchConv(64, (2, 2), dtype=self.dtype), TorchBatchNorm(),
-            x, train, self.dtype, self.fused_block1,
+            self, TorchConv(64, (2, 2), dtype=self.dtype),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
         )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
         x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
         # NHWC (B,H,W,C) → (B, H, W*C): torch does permute(0,2,3,1).reshape,
@@ -137,14 +141,15 @@ class LSTMWithAttention(nn.Module):
     time_len: int  # = n_mfcc
     seq_len: int   # = frames (100 ultra / 101 jingle / 32 daba, flowmur)
     dtype: object = None
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
         x = nn.relu(TorchConv(10, (5, 1), padding="SAME", dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = nn.relu(TorchConv(1, (5, 1), padding="SAME", dtype=self.dtype)(x))
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = jnp.squeeze(x, axis=-1)  # (B, seq, time_len)
 
         x = LSTM(64, bidirectional=True, dtype=self.dtype, name="rnn1")(x)
@@ -182,20 +187,21 @@ class ResidualBlock(nn.Module):
     strides: tuple[int, int] = (1, 1)
     downsample: bool = False
     dtype: object = None
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = TorchConv(self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = TorchBatchNorm()(y, train)
+        y = TorchBatchNorm(axis_name=self.bn_axis)(y, train)
         y = nn.relu(y)
         y = TorchConv(self.features, (3, 3), padding=(1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = TorchBatchNorm()(y, train)
+        y = TorchBatchNorm(axis_name=self.bn_axis)(y, train)
         if self.downsample:
             residual = TorchConv(
                 self.features, (3, 3), strides=self.strides, padding=(1, 1), use_bias=False
             , dtype=self.dtype)(x)
-            residual = TorchBatchNorm()(residual, train)
+            residual = TorchBatchNorm(axis_name=self.bn_axis)(residual, train)
         return nn.relu(y + residual)
 
 
@@ -207,12 +213,13 @@ class ResNet(nn.Module):
     linear_features: int
     layers: tuple[int, int, int] = (2, 2, 2)
     dtype: object = None
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nchw_to_nhwc(x)
         x = TorchConv(16, (3, 3), padding=(1, 1), use_bias=False, dtype=self.dtype)(x)
-        x = TorchBatchNorm()(x, train)
+        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = nn.relu(x)
         for stage, (feats, stride) in enumerate(zip((16, 32, 64), ((1, 1), (2, 2), (2, 2)))):
             for block in range(self.layers[stage]):
@@ -223,6 +230,7 @@ class ResNet(nn.Module):
                     strides=stride if first else (1, 1),
                     downsample=needs_down,
                     dtype=self.dtype,
+                    bn_axis=self.bn_axis,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
         x = TorchConv(64, (1, 1), strides=(2, 1), name="conv2d", dtype=self.dtype)(x)

@@ -179,3 +179,233 @@ def run_eval_scan(eval_fn, state, dset: DeviceDataset, batch_size):
         "acc": 100.0 * sums[0] / max(sums[1], 1),
         "asr": 100.0 * sums[2] / max(sums[3], 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip data-parallel) scan epochs
+#
+# The single-device scan epoch keeps the whole dataset in HBM and runs one
+# compiled program per epoch. On a mesh, the per-batch path would reintroduce
+# a host dispatch per step; instead the dataset is row-sharded over the
+# 'data' axis and the same scan runs under shard_map: each device shuffles
+# its local shard, a global batch is the concatenation of per-device slices,
+# and loss/gradients/metric sums are psum'd. BatchNorm syncs batch statistics
+# over the axis (models' ``bn_axis``), so one step is numerically the
+# per-batch GSPMD step — global-batch semantics, no per-batch host dispatch.
+# (SURVEY.md §2.5: DP over ICI is the production layout for these models.)
+
+
+def make_sharded_perm(
+    np_rng: np.random.Generator | None, n: int, n_devices: int, batch_size: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-shard local shuffle plan.
+
+    Rows are sharded contiguously into ``n_devices`` shards of
+    n_loc = ceil(n / D); returns (perm (n_batches, D, B/D) of LOCAL indices,
+    mask (n_batches, D, B/D), n_padded). Wrap-padded slots are masked out, so
+    each real row contributes to the epoch metrics exactly once. Shuffling is
+    within-shard (the standard per-host input pipeline) — batch composition
+    differs from a global shuffle, per-step math does not.
+    """
+    d = n_devices
+    assert batch_size % d == 0, (batch_size, d)
+    b_loc = batch_size // d
+    n_loc = -(-n // d)
+    n_batches = -(-n_loc // b_loc)
+    cap = n_batches * b_loc
+    perms, masks = [], []
+    for dev in range(d):
+        real = min(n_loc, n - dev * n_loc)
+        assert real > 0, f"shard {dev} empty: n={n} over {d} devices"
+        order = np_rng.permutation(real) if np_rng is not None else np.arange(real)
+        order = np.resize(order, cap)
+        mask = np.zeros(cap, dtype=bool)
+        mask[:real] = True
+        perms.append(order.reshape(n_batches, b_loc))
+        masks.append(mask.reshape(n_batches, b_loc))
+    perm = np.stack(perms, axis=1).astype(np.int32)
+    mask = np.stack(masks, axis=1)
+    return perm, mask, n_loc * d
+
+
+def pad_rows(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    """Wrap-pad rows so the array shards evenly (padded rows are never
+    indexed: make_sharded_perm only emits indices < each shard's real count
+    ... within the shard's n_loc window)."""
+    if arr.shape[0] == n_padded:
+        return arr
+    extra = n_padded - arr.shape[0]
+    return np.concatenate([arr, arr[:extra]], axis=0)
+
+
+def _with_bn_axis(model, axis_name: str):
+    if "bn_axis" in getattr(model, "__dataclass_fields__", {}):
+        return model.clone(bn_axis=axis_name)
+    return model
+
+
+def make_sharded_train_epoch_fn(model, tx: optax.GradientTransformation, mesh):
+    """jitted (state, feats, labels, indicators, perm, mask, key) →
+    (state, per-batch global losses, global metric sums) over the mesh's
+    'data' axis. feats/labels/indicators must be sharded on rows (dim 0) and
+    row-padded to the shard grid; perm/mask come from make_sharded_perm.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    model = _with_bn_axis(model, "data")
+
+    def epoch(state: TrainState, feats, labels, indicators, perm, mask, key):
+        perm = perm[:, 0]  # (n_batches, B/D) local plan
+        mask = mask[:, 0]
+        dev = jax.lax.axis_index("data")
+
+        def body(carry, inputs):
+            state = carry
+            idx, bmask, step_key = inputs
+            step_key = jax.random.fold_in(step_key, dev)  # per-device dropout
+            batch_x = feats[idx]
+            batch_y = labels[idx]
+            batch_ind = indicators[idx]
+
+            def loss_fn(params):
+                logits, mut = _apply(model, params, state.batch_stats, batch_x, True, step_key)
+                per_row = cross_entropy(logits, batch_y)
+                fm = bmask.astype(jnp.float32)
+                num = jax.lax.psum(jnp.sum(per_row * fm), "data")
+                den = jax.lax.psum(jnp.sum(fm), "data")
+                loss = num / jnp.maximum(den, 1.0)
+                return loss, (logits, mut["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            # loss_fn's local gradient covers only this shard's numerator
+            # terms; the sum over shards is the global-batch gradient.
+            grads = jax.lax.psum(grads, "data")
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_state = dataclasses.replace(
+                state,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            pred = jnp.argmax(logits, axis=-1)
+            hit = (pred == batch_y) & bmask
+            poison = (batch_ind == 1) & bmask
+            stats = jnp.asarray(
+                [jnp.sum(hit), jnp.sum(bmask), jnp.sum(hit & poison), jnp.sum(poison)],
+                jnp.int32,
+            )
+            return new_state, (loss, jax.lax.psum(stats, "data"))
+
+        n_batches = perm.shape[0]
+        step_keys = jax.random.split(jax.random.fold_in(key, state.step), n_batches)
+        state, (losses, stats) = jax.lax.scan(body, state, (perm, mask, step_keys))
+        return state, losses, jnp.sum(stats, axis=0)
+
+    sharded = jax.shard_map(
+        epoch,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P(None, "data"), P(None, "data"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_eval_epoch_fn(model, mesh):
+    """jitted sharded (params, batch_stats, feats, labels, indicators, perm,
+    mask) → (per-batch global losses, global metric sums)."""
+    from jax.sharding import PartitionSpec as P
+
+    def epoch(params, batch_stats, feats, labels, indicators, perm, mask):
+        perm = perm[:, 0]
+        mask = mask[:, 0]
+
+        def body(carry, inputs):
+            idx, bmask = inputs
+            logits, _ = _apply(model, params, batch_stats, feats[idx], False)
+            per_row = cross_entropy(logits, labels[idx])
+            fm = bmask.astype(jnp.float32)
+            num = jax.lax.psum(jnp.sum(per_row * fm), "data")
+            den = jax.lax.psum(jnp.sum(fm), "data")
+            loss = num / jnp.maximum(den, 1.0)
+            pred = jnp.argmax(logits, axis=-1)
+            hit = (pred == labels[idx]) & bmask
+            poison = (indicators[idx] == 1) & bmask
+            stats = jnp.asarray(
+                [jnp.sum(hit), jnp.sum(bmask), jnp.sum(hit & poison), jnp.sum(poison)],
+                jnp.int32,
+            )
+            return carry, (loss, jax.lax.psum(stats, "data"))
+
+        _, (losses, stats) = jax.lax.scan(body, None, (perm, mask))
+        return losses, jnp.sum(stats, axis=0)
+
+    sharded = jax.shard_map(
+        epoch,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data"), P(None, "data"), P(None, "data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class ShardedDeviceDataset:
+    """Dataset row-sharded over the mesh 'data' axis (wrap-padded to the
+    shard grid; padded rows are never emitted by make_sharded_perm)."""
+
+    def __init__(self, data, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.d = mesh.shape["data"]
+        self.n = len(data.labels)
+        n_loc = -(-self.n // self.d)
+        n_padded = n_loc * self.d
+        sh = NamedSharding(mesh, P("data"))
+        ind = data.indicators if data.indicators is not None else np.zeros(self.n, np.int64)
+        self.feats = jax.device_put(
+            jnp.asarray(pad_rows(np.asarray(data.feats, np.float32), n_padded)), sh
+        )
+        self.labels = jax.device_put(
+            jnp.asarray(pad_rows(np.asarray(data.labels, np.int32), n_padded)), sh
+        )
+        self.indicators = jax.device_put(
+            jnp.asarray(pad_rows(np.asarray(ind, np.int32), n_padded)), sh
+        )
+
+    def __len__(self):
+        return self.n
+
+
+def run_train_epoch_sharded(epoch_fn, state, dset: ShardedDeviceDataset, batch_size, key, np_rng):
+    perm, mask, _ = make_sharded_perm(np_rng, dset.n, dset.d, batch_size)
+    state, losses, sums = epoch_fn(
+        state, dset.feats, dset.labels, dset.indicators,
+        jnp.asarray(perm), jnp.asarray(mask), key,
+    )
+    losses = np.asarray(jax.device_get(losses))
+    sums = np.asarray(jax.device_get(sums))
+    out = {
+        "loss": float(losses.mean()),
+        "mix_acc": 100.0 * sums[0] / max(sums[1], 1),
+        "asr": 100.0 * sums[2] / max(sums[3], 1),
+    }
+    return state, out
+
+
+def run_eval_sharded(eval_fn, state, dset: ShardedDeviceDataset, batch_size):
+    perm, mask, _ = make_sharded_perm(None, dset.n, dset.d, batch_size)
+    losses, sums = eval_fn(
+        state.params, state.batch_stats, dset.feats, dset.labels, dset.indicators,
+        jnp.asarray(perm), jnp.asarray(mask),
+    )
+    losses = np.asarray(jax.device_get(losses))
+    sums = np.asarray(jax.device_get(sums))
+    return {
+        "loss": float(losses.mean()),
+        "acc": 100.0 * sums[0] / max(sums[1], 1),
+        "asr": 100.0 * sums[2] / max(sums[3], 1),
+    }

@@ -160,9 +160,23 @@ def train_attack(
     state = shard_replicated(mesh, state)
 
     # Single-device: device-resident scan epochs (no per-batch host
-    # dispatch). Multi-device: the per-batch path shards every batch over
-    # the mesh's data axis.
+    # dispatch). Multi-device pure-DP: the shard_map'd scan epoch (dataset
+    # row-sharded over 'data', psum'd grads/metrics, sync-BN — exactly the
+    # per-batch GSPMD step's numerics, without its per-batch dispatch).
+    # Otherwise (tp axis in play): the per-batch path shards every batch
+    # over the mesh's data axis and lets GSPMD lay out the rest.
     use_scan = cfg.train.use_scan_epochs and mesh.devices.size == 1
+    sharded_mode = getattr(cfg.train, "sharded_scan_epochs", "auto")
+    sharded_ok = sharded_mode == "on" or (
+        sharded_mode == "auto" and jax.default_backend() == "tpu"
+    )
+    use_sharded_scan = (
+        cfg.train.use_scan_epochs
+        and not use_scan
+        and sharded_ok
+        and mesh.shape["model"] == 1
+        and cfg.train.batch_size % mesh.shape["data"] == 0
+    )
     if use_scan:
         from audiobd_tpu.train.scan_epoch import (
             DeviceDataset,
@@ -177,6 +191,20 @@ def train_attack(
         d_train = DeviceDataset(bd_train)
         d_clean = DeviceDataset(clean_test)
         d_bd = DeviceDataset(bd_test)
+    elif use_sharded_scan:
+        from audiobd_tpu.train.scan_epoch import (
+            ShardedDeviceDataset,
+            make_sharded_eval_epoch_fn,
+            make_sharded_train_epoch_fn,
+            run_eval_sharded,
+            run_train_epoch_sharded,
+        )
+
+        train_epoch_fn = make_sharded_train_epoch_fn(model, tx, mesh)
+        eval_epoch_fn = make_sharded_eval_epoch_fn(model, mesh)
+        d_train = ShardedDeviceDataset(bd_train, mesh)
+        d_clean = ShardedDeviceDataset(clean_test, mesh)
+        d_bd = ShardedDeviceDataset(bd_test, mesh)
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
 
@@ -233,6 +261,12 @@ def train_attack(
                 )
                 ev_clean = run_eval_scan(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
                 ev_bd = run_eval_scan(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
+            elif use_sharded_scan:
+                state, tr = run_train_epoch_sharded(
+                    train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
+                )
+                ev_clean = run_eval_sharded(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
+                ev_bd = run_eval_sharded(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
             else:
                 state, tr = run_train_epoch(
                     train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh

@@ -105,3 +105,31 @@ def test_correlation_analysis(attacked):
     assert result.clean_nwc.shape == result.bd_nwc.shape
     assert result.clean_nwc.sum() > 0  # unlearning moved weights
     assert os.path.exists(os.path.join(cfg.record_dir, "defense/correlation/nwc_correlation.csv"))
+
+
+def test_tsbd_host_unlearn_path(attacked):
+    """first_batch_only=False takes the host multi-batch loop (per-epoch grad
+    statistics need host accumulation) — same contract as the device loop."""
+    cfg, data = attacked
+    result = tsbd.mitigation(
+        cfg,
+        only_finetune=False,
+        data=data,
+        unlearn_epochs=3,
+        ft_epochs=1,
+        reinit_ratios=[0.1],
+        first_batch_only=False,
+        verbose=False,
+    )
+    assert result.stage == "full"
+    import csv
+    import glob
+
+    ckpt = os.path.join(cfg.record_dir, "defense/tsbd/checkpoint")
+    avg_csvs = glob.glob(os.path.join(ckpt, "grad_avg_*.csv"))
+    var_csvs = glob.glob(os.path.join(ckpt, "grad_var_*.csv"))
+    assert avg_csvs and var_csvs
+    with open(avg_csvs[0]) as f:
+        rows = list(csv.reader(f))
+    # header + at least one recorded unlearn-epoch row
+    assert len(rows) >= 2
