@@ -168,9 +168,11 @@ def _eval_plan(data):
 
 def _host_unlearn(model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
                   record_layer, params, opt_state, batch_stats, tester,
-                  grad_rows_avg, grad_rows_var, first_batch_only, verbose):
-    """Per-batch host unlearning loop (used when first_batch_only=False,
-    where per-epoch multi-batch grad statistics need host accumulation)."""
+                  grad_rows_avg, grad_rows_var, verbose):
+    """Per-batch multi-batch host unlearning loop. Only serves
+    first_batch_only=False — the single-batch quirk path runs entirely on
+    device (make_unlearn_loop); per-epoch multi-batch grad statistics need
+    host accumulation."""
     unlearn_step = make_unlearn_step(model, tx)
     np_rng = rnd.np_rng(cfg.train.seed, "tsbd_unlearn")
     for epoch in range(unlearn_epochs):
@@ -186,8 +188,6 @@ def _host_unlearn(model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
             grad_norms.append(np.asarray(gn))
             losses.append(float(loss))
             train_accs.append(float(train_acc))
-            if first_batch_only:
-                break
         gn_arr = np.stack(grad_norms)
         _, val_acc = tester(params, batch_stats, data.clean_val)
         _, test_acc = tester(params, batch_stats, data.clean_test)
@@ -293,7 +293,7 @@ def mitigation(
         params, opt_state = _host_unlearn(
             model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
             record_layer, params, opt_state, batch_stats, tester,
-            grad_rows_avg, grad_rows_var, first_batch_only, verbose,
+            grad_rows_avg, grad_rows_var, verbose,
         )
     header = ["Epoch", "train_loss", "train_acc", "test_acc", "test_asr", "val_acc"] + [
         f"neuron_{i}" for i in range(n_neurons)

@@ -87,20 +87,30 @@ def _pick_tn(m_valid: int, tn: int) -> tuple[int, int]:
 # kernels
 
 
-def _phase_rz(p_ref, w, scale, shift):
-    """Recompute (r_t, pooled) per phase from the patch block."""
-    rs = []
+def _phase_rz(p_ref, w, scale, shift, round_dtype):
+    """Recompute (r_t, z_t bf16/f32-rounded, pooled) per phase.
+
+    r is rounded to the forward compute dtype and z is compared in that
+    dtype so the pool argmax and relu gate select exactly the element the
+    XLA forward selected (which materializes r and pools z in dtype) —
+    otherwise f32-recomputed near-ties could route the gradient to a
+    different pool element."""
+    rs, zs = [], []
     pooled = None
     for t in range(3):
         y = jax.lax.dot_general(
             p_ref[5 * t : 5 * (t + 1)], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        r = jnp.maximum(y, 0.0)
+        r = jnp.maximum(y, 0.0).astype(round_dtype).astype(jnp.float32)
         rs.append(r)
-        z = r * scale + shift
+        # Round z through the compute dtype but hold/compare it in f32:
+        # Mosaic has no bf16 vector compare, and f32 compares of rounded
+        # values select the same element a bf16 compare would.
+        z = (r * scale + shift).astype(round_dtype).astype(jnp.float32)
+        zs.append(z)
         pooled = z if pooled is None else jnp.maximum(pooled, z)
-    return rs, pooled
+    return rs, zs, pooled
 
 
 def _make_bwd_merged_kernel(train_bn: bool):
@@ -127,14 +137,14 @@ def _make_bwd_merged_kernel(train_bn: bool):
         inv = inv_ref[...]
         c = w.shape[1]
         g = g_ref[...].astype(jnp.float32)
-        rs, pooled = _phase_rz(p_ref, w, scale_ref[...], shift_ref[...])
+        rs, zs, pooled = _phase_rz(p_ref, w, scale_ref[...], shift_ref[...], g_ref.dtype)
         taken = jnp.zeros_like(pooled, dtype=bool)
         dwa = dwb = dwc = jnp.zeros((5, c), jnp.float32)
         s1 = s2 = jnp.zeros((1, c), jnp.float32)
         for t in range(3):
             r = rs[t]
             p_t = p_ref[5 * t : 5 * (t + 1)]
-            m = (r * scale_ref[...] + shift_ref[...] == pooled) & ~taken
+            m = (zs[t] == pooled) & ~taken
             taken = taken | m
             rp = r > 0.0
             dz = jnp.where(m, g, 0.0)
@@ -176,11 +186,11 @@ def _make_dp_kernel(train_bn: bool):
         h1 = h1_ref[...]
         h2 = h2_ref[...]
         g = g_ref[...].astype(jnp.float32)
-        rs, pooled = _phase_rz(p_ref, w, scale, shift_ref[...])
+        rs, zs, pooled = _phase_rz(p_ref, w, scale, shift_ref[...], g_ref.dtype)
         taken = jnp.zeros_like(pooled, dtype=bool)
         for t in range(3):
             r = rs[t]
-            m = (r * scale + shift_ref[...] == pooled) & ~taken
+            m = (zs[t] == pooled) & ~taken
             taken = taken | m
             dz = jnp.where(m, g, 0.0)
             if train_bn:

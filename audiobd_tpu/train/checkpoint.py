@@ -94,11 +94,15 @@ class AsyncCheckpointWriter:
                 raise err
 
     def close(self) -> None:
-        self.flush()
-        with self._cond:
-            self._closed = True
-            self._cond.notify_all()
-        self._thread.join(timeout=60)
+        try:
+            self.flush()
+        finally:
+            # Always stop the thread, even when flush() re-raises a write
+            # error — otherwise _closed stays unset and the thread leaks.
+            with self._cond:
+                self._closed = True
+                self._cond.notify_all()
+            self._thread.join(timeout=60)
 
     def _run(self) -> None:
         while True:
@@ -118,6 +122,11 @@ class AsyncCheckpointWriter:
                 self._writing = True
             try:
                 save_checkpoint(*job)
+                with self._cond:
+                    # A durable write supersedes any earlier transient
+                    # failure (latest-wins): don't raise a stale error from
+                    # flush() after training has in fact checkpointed.
+                    self._error = None
             except BaseException as e:  # surfaced on the next flush()
                 with self._cond:
                     self._error = e

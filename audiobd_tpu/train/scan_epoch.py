@@ -195,28 +195,43 @@ def run_eval_scan(eval_fn, state, dset: DeviceDataset, batch_size):
 # (SURVEY.md §2.5: DP over ICI is the production layout for these models.)
 
 
+def shard_layout(n: int, n_devices: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n_loc, offsets, counts): balanced contiguous row assignment.
+
+    Shard d owns rows [offsets[d], offsets[d]+counts[d]) of the original
+    array, with counts differing by at most one — no shard is ever empty for
+    n >= D (a ceil-based split would leave trailing shards empty for small
+    n, e.g. 33 rows on 8 chips). Each shard's rows are wrap-padded to the
+    common n_loc slot size the mesh sharding requires."""
+    d = n_devices
+    assert n >= d, f"need at least one row per shard: n={n}, devices={d}"
+    base, extra = divmod(n, d)
+    counts = np.asarray([base + (1 if i < extra else 0) for i in range(d)])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])])
+    return int(counts.max()), offsets, counts
+
+
 def make_sharded_perm(
     np_rng: np.random.Generator | None, n: int, n_devices: int, batch_size: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Per-shard local shuffle plan.
 
-    Rows are sharded contiguously into ``n_devices`` shards of
-    n_loc = ceil(n / D); returns (perm (n_batches, D, B/D) of LOCAL indices,
-    mask (n_batches, D, B/D), n_padded). Wrap-padded slots are masked out, so
-    each real row contributes to the epoch metrics exactly once. Shuffling is
-    within-shard (the standard per-host input pipeline) — batch composition
-    differs from a global shuffle, per-step math does not.
+    Rows are assigned by shard_layout; returns (perm (n_batches, D, B/D) of
+    LOCAL indices, mask (n_batches, D, B/D), n_padded). Wrap-padded slots
+    are masked out, so each real row contributes to the epoch metrics
+    exactly once. Shuffling is within-shard (the standard per-host input
+    pipeline) — batch composition differs from a global shuffle, per-step
+    math does not.
     """
     d = n_devices
     assert batch_size % d == 0, (batch_size, d)
     b_loc = batch_size // d
-    n_loc = -(-n // d)
+    n_loc, _, counts = shard_layout(n, d)
     n_batches = -(-n_loc // b_loc)
     cap = n_batches * b_loc
     perms, masks = [], []
     for dev in range(d):
-        real = min(n_loc, n - dev * n_loc)
-        assert real > 0, f"shard {dev} empty: n={n} over {d} devices"
+        real = int(counts[dev])
         order = np_rng.permutation(real) if np_rng is not None else np.arange(real)
         order = np.resize(order, cap)
         mask = np.zeros(cap, dtype=bool)
@@ -228,14 +243,17 @@ def make_sharded_perm(
     return perm, mask, n_loc * d
 
 
-def pad_rows(arr: np.ndarray, n_padded: int) -> np.ndarray:
-    """Wrap-pad rows so the array shards evenly (padded rows are never
-    indexed: make_sharded_perm only emits indices < each shard's real count
-    ... within the shard's n_loc window)."""
-    if arr.shape[0] == n_padded:
-        return arr
-    extra = n_padded - arr.shape[0]
-    return np.concatenate([arr, arr[:extra]], axis=0)
+def pad_rows(arr: np.ndarray, n_devices: int) -> np.ndarray:
+    """Rearrange rows into the shard_layout slot grid: shard d's slot block
+    holds its counts[d] real rows wrap-padded to n_loc (padded copies are
+    never emitted by make_sharded_perm's masks)."""
+    n = arr.shape[0]
+    n_loc, offsets, counts = shard_layout(n, n_devices)
+    blocks = []
+    for off, cnt in zip(offsets, counts):
+        idx = off + (np.arange(n_loc) % int(cnt))
+        blocks.append(arr[idx])
+    return np.concatenate(blocks, axis=0)
 
 
 def _with_bn_axis(model, axis_name: str):
@@ -362,18 +380,16 @@ class ShardedDeviceDataset:
 
         self.d = mesh.shape["data"]
         self.n = len(data.labels)
-        n_loc = -(-self.n // self.d)
-        n_padded = n_loc * self.d
         sh = NamedSharding(mesh, P("data"))
         ind = data.indicators if data.indicators is not None else np.zeros(self.n, np.int64)
         self.feats = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(data.feats, np.float32), n_padded)), sh
+            jnp.asarray(pad_rows(np.asarray(data.feats, np.float32), self.d)), sh
         )
         self.labels = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(data.labels, np.int32), n_padded)), sh
+            jnp.asarray(pad_rows(np.asarray(data.labels, np.int32), self.d)), sh
         )
         self.indicators = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(ind, np.int32), n_padded)), sh
+            jnp.asarray(pad_rows(np.asarray(ind, np.int32), self.d)), sh
         )
 
     def __len__(self):

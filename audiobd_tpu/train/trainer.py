@@ -253,55 +253,60 @@ def train_attack(
     n_clips = 0
     t_start = time.perf_counter()
     epochs_ran = 0
-    for epoch in range(1, cfg.train.num_epochs + 1):
-        with annotate(f"epoch_{epoch}"):
-            if use_scan:
-                state, tr = run_train_epoch_scan(
-                    train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
-                )
-                ev_clean = run_eval_scan(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
-                ev_bd = run_eval_scan(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
-            elif use_sharded_scan:
-                state, tr = run_train_epoch_sharded(
-                    train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
-                )
-                ev_clean = run_eval_sharded(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
-                ev_bd = run_eval_sharded(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
-            else:
-                state, tr = run_train_epoch(
-                    train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
-                )
-                ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
-                ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
-        if profile_dir and epoch >= 2:
-            jax.profiler.stop_trace()  # two epochs of device trace is plenty
-            profile_dir = None
-        n_clips += len(bd_train)
-        epochs_ran = epoch
+    try:
+        for epoch in range(1, cfg.train.num_epochs + 1):
+            with annotate(f"epoch_{epoch}"):
+                if use_scan:
+                    state, tr = run_train_epoch_scan(
+                        train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
+                    )
+                    ev_clean = run_eval_scan(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
+                    ev_bd = run_eval_scan(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
+                elif use_sharded_scan:
+                    state, tr = run_train_epoch_sharded(
+                        train_epoch_fn, state, d_train, cfg.train.batch_size, dropout_key, np_rng
+                    )
+                    ev_clean = run_eval_sharded(eval_epoch_fn, state, d_clean, cfg.train.batch_size)
+                    ev_bd = run_eval_sharded(eval_epoch_fn, state, d_bd, cfg.train.batch_size)
+                else:
+                    state, tr = run_train_epoch(
+                        train_step, state, bd_train, cfg.train.batch_size, dropout_key, np_rng, mesh
+                    )
+                    ev_clean = run_eval(eval_step, state, clean_test, cfg.train.batch_size, mesh)
+                    ev_bd = run_eval(eval_step, state, bd_test, cfg.train.batch_size, mesh)
+            if profile_dir and epoch >= 2:
+                jax.profiler.stop_trace()  # two epochs of device trace is plenty
+                profile_dir = None
+            n_clips += len(bd_train)
+            epochs_ran = epoch
 
-        history["train_loss"].append(tr["loss"])
-        history["train_mix_acc"].append(tr["mix_acc"])
-        history["train_asr"].append(tr["asr"])
-        history["test_clean_loss"].append(ev_clean["loss"])
-        history["test_bd_loss"].append(ev_bd["loss"])
-        history["test_clean_acc"].append(ev_clean["acc"])
-        history["test_asr"].append(ev_bd["asr"])
+            history["train_loss"].append(tr["loss"])
+            history["train_mix_acc"].append(tr["mix_acc"])
+            history["train_asr"].append(tr["asr"])
+            history["test_clean_loss"].append(ev_clean["loss"])
+            history["test_bd_loss"].append(ev_bd["loss"])
+            history["test_clean_acc"].append(ev_clean["acc"])
+            history["test_asr"].append(ev_bd["asr"])
 
-        monitored = 0.5 * (ev_clean["loss"] + ev_bd["loss"])
-        if verbose:
-            print(
-                f"Epoch {epoch}: Train loss: {tr['loss']:.4f}, Train asr: {tr['asr']:.4f}, "
-                f"Clean acc: {ev_clean['acc']:.4f}, ASR: {ev_bd['asr']:.4f}"
-            )
-        if stopper(monitored, state):
+            monitored = 0.5 * (ev_clean["loss"] + ev_bd["loss"])
             if verbose:
-                print("Early stopping")
-            break
+                print(
+                    f"Epoch {epoch}: Train loss: {tr['loss']:.4f}, Train asr: {tr['asr']:.4f}, "
+                    f"Clean acc: {ev_clean['acc']:.4f}, ASR: {ev_bd['asr']:.4f}"
+                )
+            if stopper(monitored, state):
+                if verbose:
+                    print("Early stopping")
+                break
 
-    if profile_dir:  # fewer than 2 epochs ran
-        jax.profiler.stop_trace()
-    if writer is not None:
-        writer.close()  # drains the last submitted best state to disk
+    finally:
+        if profile_dir:  # fewer than 2 epochs ran
+            jax.profiler.stop_trace()
+        if writer is not None:
+            # Always drain the last submitted best state — an exception
+            # mid-training (NaN loss, interrupt) must not strand a pending
+            # improvement behind the pacing interval or leak the thread.
+            writer.close()
     wall = time.perf_counter() - t_start
     result = TrainResult(
         history=history,

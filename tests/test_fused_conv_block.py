@@ -150,3 +150,44 @@ def test_model_eval_matches():
     y0 = m0.apply(v0, x, train=False)
     y1 = m1.apply(v1, x, train=False)
     assert rel_err(y0, y1) < 1e-6
+
+
+def test_model_bf16_grads_close():
+    """bf16 compute path: the shipped default for mixed-precision training.
+
+    bf16 gradients carry ~1e-1 inherent noise on near-cancelling quantities
+    (the *unfused* bf16 path is that far from f32 truth too), so the fused
+    path is judged against the f32 reference: its error must not exceed the
+    unfused bf16 path's error by more than bf16 noise. The forward must
+    still match the unfused bf16 forward tightly (same math)."""
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(8, 1, 101, 40)).astype(np.float32))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    def grads(dtype, fused):
+        m = SmallCNN(num_classes=10, linear_features=3072, dtype=dtype, fused_block1=fused)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(params):
+            y, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"], rngs=rngs)
+        return y.astype(jnp.float32), jax.grad(loss)(v["params"])
+
+    y32, g32 = grads(None, False)
+    y0, g0 = grads(jnp.bfloat16, False)
+    y1, g1 = grads(jnp.bfloat16, True)
+    assert rel_err(y0, y1) < 1e-5  # identical bf16 forward math
+
+    flat32 = jax.tree_util.tree_flatten_with_path(g32)[0]
+    for (path, a32), b0, b1 in zip(
+        flat32, jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        d_unfused = rel_err(a32, b0)
+        d_fused = rel_err(a32, b1)
+        assert d_fused < max(2.0 * d_unfused, 0.02), (
+            f"{jax.tree_util.keystr(path)}: fused {d_fused:.3e} vs unfused {d_unfused:.3e}"
+        )

@@ -64,12 +64,12 @@ def setup():
     return mesh, model, tx, state, feats, labels, ind
 
 
-def _shard_arrays(mesh, feats, labels, ind, n_padded):
+def _shard_arrays(mesh, feats, labels, ind, n_devices=D):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P("data"))
     return tuple(
-        jax.device_put(jnp.asarray(pad_rows(a, n_padded)), sh)
+        jax.device_put(jnp.asarray(pad_rows(a, n_devices)), sh)
         for a in (feats, labels.astype(np.int32), ind.astype(np.int32))
     )
 
@@ -90,7 +90,7 @@ def test_one_step_matches_single_device(setup):
     # sharded: each shard contributes its 16 rows — same global batch
     fnD = make_sharded_train_epoch_fn(model, tx, mesh)
     perm, mask, n_padded = make_sharded_perm(None, N, D, N)
-    f, l, i = _shard_arrays(mesh, feats, labels, ind, n_padded)
+    f, l, i = _shard_arrays(mesh, feats, labels, ind)
     sD, lossesD, sumsD = fnD(
         state, f, l, i, jnp.asarray(perm), jnp.asarray(mask), jax.random.PRNGKey(5)
     )
@@ -122,7 +122,7 @@ def test_eval_sums_match_with_ragged_shards(setup):
 
     feD = make_sharded_eval_epoch_fn(model, mesh)
     perm, mask, n_padded = make_sharded_perm(None, n, D, 24)
-    f, l, i = _shard_arrays(mesh, feats[:n], labels[:n], ind[:n], n_padded)
+    f, l, i = _shard_arrays(mesh, feats[:n], labels[:n], ind[:n])
     lossesD, sumsD = feD(
         state.params, state.batch_stats, f, l, i, jnp.asarray(perm), jnp.asarray(mask)
     )
@@ -146,7 +146,7 @@ def test_sharded_training_learns(setup):
     first = last = None
     for epoch in range(25):
         perm, mask, n_padded = make_sharded_perm(np_rng, 64, D, 32)
-        f, l, i = _shard_arrays(mesh, feats, labels, np.zeros(64), n_padded)
+        f, l, i = _shard_arrays(mesh, feats, labels, np.zeros(64))
         state, losses, sums = fnD(
             state, f, l, i, jnp.asarray(perm), jnp.asarray(mask), jax.random.PRNGKey(epoch)
         )
@@ -185,3 +185,25 @@ def test_train_attack_sharded_end_to_end(tmp_path):
         assert result.history["test_clean_acc"][-1] > 40.0
     finally:
         os.chdir(cwd)
+
+
+def test_small_n_many_devices():
+    """Balanced layout: n barely above D must not produce an empty shard
+    (a ceil split would: 9 rows on 8 shards -> shard 7 empty)."""
+    from audiobd_tpu.train.scan_epoch import shard_layout
+
+    mesh8 = make_mesh(n_data=8, n_model=1)
+    n = 9
+    n_loc, offsets, counts = shard_layout(n, 8)
+    assert counts.min() == 1 and counts.sum() == n
+    model = TinyBNNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, H, W)), train=False)
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(n, 1, H, W)).astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    fe = make_sharded_eval_epoch_fn(model, mesh8)
+    perm, mask, _ = make_sharded_perm(None, n, 8, 8)
+    f, l, i = _shard_arrays(mesh8, feats, labels, np.zeros(n), n_devices=8)
+    losses, sums = fe(variables["params"], variables["batch_stats"], f, l, i,
+                      jnp.asarray(perm), jnp.asarray(mask))
+    assert int(sums[1]) == n
