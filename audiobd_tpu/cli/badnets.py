@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import add_common_args, config_from_args
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.data.speech_commands import (
     load_clean_data,
     make_synthetic_clean_data,
@@ -36,6 +37,7 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     cfg = config_from_args("badnets", args, trigger_size=args.trigger_size)
+    enable_compilation_cache(cfg.train.compilation_cache)
     print("----------BadNets attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import make_config
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.cli.common import infer_attack
 from audiobd_tpu.defend import correlation
 
@@ -28,6 +29,7 @@ def main():
     attack, model = infer_attack(args.result, args.attack)
     cfg = make_config(attack, dataset=args.dataset, result=args.result,
                       model=model, batch_size=args.batch_size)
+    enable_compilation_cache(cfg.train.compilation_cache)
     result = correlation.analyze(
         cfg, lr_un=args.lr_un, unlearn_epochs=args.unlearn_epochs, subset=args.subset
     )

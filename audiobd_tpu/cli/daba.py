@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import add_common_args, config_from_args
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.data.speech_commands import (
     load_clean_data,
     make_synthetic_clean_data,
@@ -35,6 +36,7 @@ def main():
         variant=args.variant,
         po_db=args.po_db,
     )
+    enable_compilation_cache(cfg.train.compilation_cache)
     print("----------DABA attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")

@@ -14,6 +14,7 @@ import os
 import numpy as np
 
 from audiobd_tpu.configs import add_common_args, config_from_args
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.data.speech_commands import (
     load_clean_data,
     make_synthetic_clean_data,
@@ -31,6 +32,11 @@ def parse_arguments():
     parser.add_argument("--surrogate_epochs", type=int, default=None)
     parser.add_argument("--opt_epochs", type=int, default=None)
     parser.add_argument("--load_trigger", type=str, default=None, help="path to sp_trigger npy")
+    parser.add_argument(
+        "--flowmur_update", type=str, default=None, choices=["per_batch", "accumulated"],
+        help="trigger-opt update rule: per-batch Adam steps or the reference's "
+             "accumulated single step per epoch",
+    )
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_per_class", type=int, default=50)
     return parser.parse_args()
@@ -45,6 +51,7 @@ def main():
         surrogate_epochs=args.surrogate_epochs,
         flowmur_opt_epochs=args.opt_epochs,
     )
+    enable_compilation_cache(cfg.train.compilation_cache)
     print("----------FlowMur attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import make_config
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.cli.common import infer_attack
 from audiobd_tpu.defend import ft_reg
 
@@ -31,6 +32,7 @@ def main():
     attack, spec_model = infer_attack(args.result, args.attack)
     cfg = make_config(attack, dataset=args.dataset, result=args.result,
                       model=args.model or spec_model, batch_size=args.batch_size)
+    enable_compilation_cache(cfg.train.compilation_cache)
     result = ft_reg.mitigation(
         cfg,
         val_ratio=args.val_ratio,

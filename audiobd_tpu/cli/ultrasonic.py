@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 
 from audiobd_tpu.configs import add_common_args, config_from_args
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 from audiobd_tpu.data.speech_commands import (
     load_clean_data,
     make_synthetic_clean_data,
@@ -33,6 +34,7 @@ def main():
         trigger_pos=args.trigger_pos,
         trigger_cont=args.trigger_cont,
     )
+    enable_compilation_cache(cfg.train.compilation_cache)
     print("----------Ultrasonic attack (audiobd_tpu)----------")
     for key, value in vars(args).items():
         print(f"{key}: {value}")

@@ -104,6 +104,11 @@ class TrainConfig:
     # CPU test mesh so fixed-seed anchors stay on the per-batch path
     # (train/scan_epoch.py sharded engine has its own equivalence tests).
     sharded_scan_epochs: str = "auto"
+    # Persistent XLA compilation cache (utils/compile_cache.py): "auto" =
+    # $JAX_COMPILATION_CACHE_DIR or ~/.cache/audiobd_tpu/jax_cache; "off"
+    # disables; any other string is the cache dir. Enabled by every CLI —
+    # reruns and chained defenses skip the ~20-60 s/program tunnel compiles.
+    compilation_cache: str = "auto"
 
 
 @dataclass
@@ -144,6 +149,10 @@ class AttackConfig:
     flowmur_opt_epochs: int = 300
     flowmur_opt_lr: float = 1e-3
     flowmur_clamp: float = 0.2
+    # "per_batch" (default): Adam step + clamp per batch. "accumulated":
+    # reference-faithful — losses summed across the epoch, ONE Adam step +
+    # clamp per epoch (utils/flowmur_generate_trigger.py:101-103).
+    flowmur_update: str = "per_batch"
     surrogate_runs: int = 3
     surrogate_epochs: int = 1000
 
@@ -280,6 +289,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--patience", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--result", type=str, default=None)
+    parser.add_argument(
+        "--fused_conv_block", type=str, default=None, choices=["auto", "on", "off"],
+        help="Pallas-backward first conv block (TrainConfig.fused_conv_block)",
+    )
 
 
 def _is_config_key(key: str) -> bool:

@@ -58,13 +58,17 @@ def mfcc_params(cfg: AttackConfig) -> MFCCParams:
     )
 
 
-def batched_mfcc(
-    wavs: np.ndarray, params: MFCCParams, chunk: int = 512, use_pallas: bool | None = None
-) -> np.ndarray:
-    """Device-batched MFCC over (N, 1, T) → (N, 1, frames, n_mfcc).
+def batched_mfcc_device(
+    wavs, params: MFCCParams, chunk: int = 2048, use_pallas: bool | None = None
+) -> jax.Array:
+    """Device-resident batched MFCC over (N, 1, T) → (N, 1, frames, n_mfcc).
 
-    With ``use_pallas`` (or on TPU by request via DSPConfig.use_pallas) the
-    fused Pallas kernel handles the hot path; the XLA path otherwise.
+    One compiled program per chunk shape; all chunks are DISPATCHED before
+    anything is fetched (the chunks pipeline on device — a per-chunk
+    device_get would serialize compute with tunnel transfers), and the
+    result stays on device (jnp.concatenate) for the caller to train from
+    (DeviceDataset adopts it without a host round trip) or to np.asarray
+    once for the npy cache contract.
     """
     if use_pallas and jax.default_backend() not in ("cpu",):
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
@@ -79,10 +83,17 @@ def batched_mfcc(
         pad = 0
         if len(block) < chunk and n > chunk:
             pad = chunk - len(block)  # pad to keep a single compiled shape
-            block = np.concatenate([block, block[:1].repeat(pad, axis=0)])
-        out = np.asarray(fn(jnp.asarray(block.astype(np.float32))))
-        outs.append(out[: len(out) - pad] if pad else out)
-    return np.concatenate(outs, axis=0)
+            block = np.concatenate([np.asarray(block), np.asarray(block[:1]).repeat(pad, axis=0)])
+        out = fn(jnp.asarray(np.asarray(block, np.float32)))
+        outs.append(out[: out.shape[0] - pad] if pad else out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def batched_mfcc(
+    wavs: np.ndarray, params: MFCCParams, chunk: int = 512, use_pallas: bool | None = None
+) -> np.ndarray:
+    """Host-output wrapper of batched_mfcc_device (the record/ npy contract)."""
+    return np.asarray(batched_mfcc_device(wavs, params, chunk=chunk, use_pallas=use_pallas))
 
 
 def clean_dir(cfg: AttackConfig) -> str:

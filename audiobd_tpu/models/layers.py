@@ -231,7 +231,8 @@ class LSTM(nn.Module):
 
 
 def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNorm",
-                        x: jax.Array, train: bool, dtype, fused: bool) -> jax.Array:
+                        x: jax.Array, train: bool, dtype, fused: bool,
+                        input_grad: bool = False) -> jax.Array:
     """First smallcnn/smalllstm block: maxpool_{1,3}(BN(relu(conv2x2(x)))).
 
     With ``fused`` (TPU training path) the math routes through
@@ -241,6 +242,15 @@ def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     parameters (the dummy computations are dead code XLA removes), and the
     running-stats update reuses flax BatchNorm's own logic by feeding it a
     crafted two-sample input whose batch mean/var equal the kernel's μ/σ².
+
+    CONTRACT: in the fused *training* path, gradients w.r.t. the block input
+    ``x`` are only computed when ``input_grad=True`` (models expose this as
+    ``fused_input_grad``) — otherwise dx is zeros by construction. Training
+    differentiates parameters only, so the default is off; anything that
+    differentiates w.r.t. the model INPUT with train=True (saliency-style
+    defenses, trigger optimization against a training-mode model) must set it
+    or use an unfused/eval-mode model (the eval kernel always provides dx —
+    FlowMur's trigger optimization uses that path).
     """
     if not fused or x.shape[-1] != 1 or x.shape[1] < 2 or (x.shape[2] - 1) % 3 != 0:
         y = nn.relu(conv(x))
@@ -258,7 +268,10 @@ def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     beta = params[bn.name]["BatchNorm_0"]["bias"]
     dt = dtype or x.dtype
     if train:
-        out, mu, var = conv1_bn_pool(x, w, b, gamma, beta, train=True, compute_dtype=dt)
+        out, mu, var = conv1_bn_pool(
+            x, w, b, gamma, beta, train=True, compute_dtype=dt,
+            need_input_grad=input_grad,
+        )
         # Two samples at μ ± σ have batch mean μ and (fast-)variance σ²
         # exactly — flax BatchNorm then applies its own running update.
         s = jnp.sqrt(jnp.maximum(var, 0.0))

@@ -41,6 +41,11 @@ class SmallCNN(nn.Module):
     linear_features: int
     dtype: object = None  # compute dtype; params stay float32
     fused_block1: bool = False
+    # Fused train-mode dx contract: with fused_block1, gradients w.r.t. the
+    # model INPUT in training mode are zeros unless this is set (see
+    # layers.conv_bn_pool_block1). Training differentiates params only, and
+    # eval-mode input grads (FlowMur) are always exact, so default off.
+    fused_input_grad: bool = False
     bn_axis: str | None = None  # sync-BN mesh axis (sharded scan epochs)
 
     @nn.compact
@@ -50,6 +55,7 @@ class SmallCNN(nn.Module):
             self, TorchConv(64, (2, 2), dtype=self.dtype),
             TorchBatchNorm(axis_name=self.bn_axis),
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
+            input_grad=self.fused_input_grad,
         )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
@@ -106,6 +112,7 @@ class SmallLSTM(nn.Module):
     rnn_features: int
     dtype: object = None
     fused_block1: bool = False
+    fused_input_grad: bool = False  # see SmallCNN.fused_input_grad
     bn_axis: str | None = None
 
     @nn.compact
@@ -115,6 +122,7 @@ class SmallLSTM(nn.Module):
             self, TorchConv(64, (2, 2), dtype=self.dtype),
             TorchBatchNorm(axis_name=self.bn_axis),
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
+            input_grad=self.fused_input_grad,
         )
         x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
@@ -254,22 +262,24 @@ MODEL_REGISTRY = {
 
 
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
-                dtype=None, fused: bool = False):
+                dtype=None, fused: bool = False, fused_input_grad: bool = False):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
     configs.linear_features_for (flatten size, rnn features, or seq_len).
-    ``fused`` enables the Pallas-backward first conv block where available.
+    ``fused`` enables the Pallas-backward first conv block where available;
+    ``fused_input_grad`` additionally enables train-mode input gradients
+    through the fused block (zeros otherwise — see SmallCNN.fused_input_grad).
     """
     name = name.lower()
     if name == "smallcnn":
         return SmallCNN(num_classes=num_classes, linear_features=feature_size,
-                        dtype=dtype, fused_block1=fused)
+                        dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad)
     if name in ("largecnn", "resnet"):
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
         return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
-                         dtype=dtype, fused_block1=fused)
+                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad)
     if name == "lstmwithattention":
         assert n_mfcc is not None
         return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)

@@ -54,6 +54,59 @@ def apply_trigger(mfcc: jax.Array, trigger: jax.Array) -> jax.Array:
     return jnp.where(trigger != 0, trigger, mfcc)
 
 
+def poison_waveforms_device(
+    wavs, indicators, trigger, params, chunk: int = 2048, use_pallas: bool = False
+) -> jax.Array:
+    """Fused device-resident prep: waveforms → MFCC → BadNets patch.
+
+    The reference's hot path recomputes MFCC per clip on the host and then
+    patches in a second pass (badnets.py:38-108, prepare_dataset.py:49-84);
+    here MFCC + patch + indicator-select run as ONE compiled program per
+    chunk, all chunks dispatched before anything waits, and the poisoned
+    features never leave the device — train/scan_epoch.DeviceDataset adopts
+    the returned array with no host round trip.
+
+    wavs: (N, T) or (N, 1, T), host or device. indicators: (N,) ints
+    (1 = poison). trigger: (1, frames, n_mfcc). Returns (N, 1, F, M) f32.
+    """
+    from audiobd_tpu.dsp import mfcc_features
+
+    trigger = jnp.asarray(trigger)
+
+    if use_pallas and jax.default_backend() not in ("cpu",):
+        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
+
+        def features(w):
+            if w.ndim >= 3 and w.shape[-2] == 1:
+                w = jnp.squeeze(w, -2)
+            return fused_mfcc_features(w, params)
+    else:
+        def features(w):
+            return mfcc_features(w, params)
+
+    @jax.jit
+    def one(w, ind):
+        feats = features(w)
+        patched = apply_trigger(feats, trigger)
+        return jnp.where(ind[:, None, None, None] == 1, patched, feats)
+
+    n = len(wavs)
+    wavs = jnp.asarray(wavs, jnp.float32) if not isinstance(wavs, jax.Array) else wavs
+    indicators = jnp.asarray(indicators, jnp.int32)
+    outs = []
+    for start in range(0, n, chunk):
+        block = wavs[start : start + chunk]
+        ind = indicators[start : start + chunk]
+        pad = 0
+        if block.shape[0] < chunk and n > chunk:
+            pad = chunk - block.shape[0]  # keep one compiled shape
+            block = jnp.concatenate([block, jnp.broadcast_to(block[:1], (pad,) + block.shape[1:])])
+            ind = jnp.concatenate([ind, jnp.zeros((pad,), ind.dtype)])
+        out = one(block, ind)
+        outs.append(out[: out.shape[0] - pad] if pad else out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 @dataclass
 class PoisonedData:
     bd_train: ArraySet

@@ -7,9 +7,10 @@ Pipeline (reference utils/flowmur_generate_trigger.py + flowmur.py:42-127):
      initialized at 0.1, injected at a *random position* per sample with an
      SNR-scaled blend, clamped to ±0.2, driving the frozen surrogate toward
      the target class **through the MFCC front-end** (differentiable here by
-     construction; the reference needs retain_graph gymnastics,
-     utils/flowmur_generate_trigger.py:101-103 — we take clean per-batch
-     Adam steps, a documented parity deviation with the same objective);
+     construction). Update rule selectable via cfg.flowmur_update:
+     "per_batch" (default, clean per-batch Adam steps) or "accumulated"
+     (reference-faithful: epoch-summed loss, one step per epoch — the
+     retain_graph accumulation at utils/flowmur_generate_trigger.py:101-103);
   3. dataset poisoning — train: a fraction of *target-class* rows get the
      trigger at SNR ``snr_db`` (poison_indicator marks ALL target-class
      rows — quirk preserved, flowmur.py:88-89; SURVEY.md §6b.6); test:
@@ -205,11 +206,23 @@ def optimize_trigger(
         labels = jnp.full((batch_wavs.shape[0],), target, jnp.int32)
         return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
+    # Update rule (cfg.flowmur_update):
+    #   "per_batch"   — one Adam step (+clamp) per batch (default; same
+    #                   objective, cleaner optimization path);
+    #   "accumulated" — the reference-faithful rule: the per-batch losses are
+    #                   summed across the WHOLE epoch and a single Adam step
+    #                   (+clamp) is taken per epoch (the reference's
+    #                   loss-accumulation with retain_graph=True then one
+    #                   optimizer.step(), utils/flowmur_generate_trigger.py:
+    #                   101-103). grad(Σ losses) = Σ per-batch grads, so the
+    #                   scan accumulates gradients and steps once after.
+    accumulated = getattr(cfg, "flowmur_update", "per_batch") == "accumulated"
+
     @jax.jit
     def run_epoch(trigger, opt_state, perm, key):
         batched = wavs[perm[:usable]].reshape(n_batches, bs, t)
 
-        def body(carry, batch_wavs):
+        def body_per_batch(carry, batch_wavs):
             trigger, opt_state, key = carry
             key, kpos = jax.random.split(key)
             positions = jax.random.randint(kpos, (bs,), 0, t - length + 1)
@@ -219,8 +232,24 @@ def optimize_trigger(
             trigger = jnp.clip(trigger, -clamp, clamp)
             return (trigger, opt_state, key), loss
 
-        (trigger, opt_state, _), losses = jax.lax.scan(body, (trigger, opt_state, key), batched)
-        return trigger, opt_state, jnp.sum(losses)
+        def body_accumulate(carry, batch_wavs):
+            grad_sum, key = carry
+            key, kpos = jax.random.split(key)
+            positions = jax.random.randint(kpos, (bs,), 0, t - length + 1)
+            loss, grads = jax.value_and_grad(batch_loss)(trigger, batch_wavs, positions)
+            return (grad_sum + grads, key), loss
+
+        if accumulated:
+            (grad_sum, _), losses = jax.lax.scan(
+                body_accumulate, (jnp.zeros_like(trigger), key), batched
+            )
+            updates, new_opt = tx.update(grad_sum, opt_state, trigger)
+            new_trigger = jnp.clip(optax.apply_updates(trigger, updates), -clamp, clamp)
+            return new_trigger, new_opt, jnp.sum(losses)
+        (new_trigger, new_opt, _), losses = jax.lax.scan(
+            body_per_batch, (trigger, opt_state, key), batched
+        )
+        return new_trigger, new_opt, jnp.sum(losses)
 
     trigger = trigger0
     np_rng = rnd.np_rng(cfg.train.seed, "flowmur_trigger_shuffle")

@@ -176,6 +176,10 @@ def train_attack(
         and sharded_ok
         and mesh.shape["model"] == 1
         and cfg.train.batch_size % mesh.shape["data"] == 0
+        # shard_layout needs ≥1 row per shard in every split; smaller
+        # datasets fall back to the per-batch GSPMD path instead of
+        # asserting mid-run (ADVICE r2).
+        and min(len(bd_train), len(clean_test), len(bd_test)) >= mesh.shape["data"]
     )
     if use_scan:
         from audiobd_tpu.train.scan_epoch import (
@@ -306,7 +310,17 @@ def train_attack(
             # Always drain the last submitted best state — an exception
             # mid-training (NaN loss, interrupt) must not strand a pending
             # improvement behind the pacing interval or leak the thread.
-            writer.close()
+            # When the loop is already unwinding, a checkpoint-write error
+            # must not supersede the original exception: log it instead.
+            import sys as _sys
+
+            if _sys.exc_info()[0] is None:
+                writer.close()
+            else:
+                try:
+                    writer.close()
+                except BaseException as ckpt_err:
+                    print(f"checkpoint write failed during unwind: {ckpt_err!r}")
     wall = time.perf_counter() - t_start
     result = TrainResult(
         history=history,

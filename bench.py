@@ -207,14 +207,21 @@ def bench_mfcc() -> dict:
 
 
 def bench_end_to_end() -> dict:
-    """North-star: waveforms → MFCC → BadNets patch → one training epoch."""
+    """North-star: waveforms → MFCC → BadNets patch → one training epoch.
+
+    Uses the production prep path (poison.badnets.poison_waveforms_device):
+    fused MFCC+patch per chunk, all chunks dispatched before any wait, output
+    device-resident straight into DeviceDataset. The 1.31 GB waveform ingest
+    is dispatched asynchronously and OVERLAPPED with compiling the prep
+    program, so its cost is (mostly) hidden behind the compile the run pays
+    anyway; both the total and the residual-after-compile are reported.
+    """
     import jax
     import jax.numpy as jnp
 
     from audiobd_tpu.configs import make_config
-    from audiobd_tpu.dsp.mfcc import mfcc_features
     from audiobd_tpu.data.speech_commands import mfcc_params
-    from audiobd_tpu.poison.badnets import apply_trigger, generate_trigger
+    from audiobd_tpu.poison.badnets import generate_trigger, poison_waveforms_device
     from audiobd_tpu.train.loop import ArraySet
     from audiobd_tpu.train.scan_epoch import (
         DeviceDataset,
@@ -233,41 +240,31 @@ def bench_end_to_end() -> dict:
     wavs = rng.standard_normal((N_CLIPS, 16000)).astype(np.float32)
     labels = rng.integers(0, 10, N_CLIPS).astype(np.int64)
     indicators = (rng.random(N_CLIPS) < 0.1).astype(np.int64)
+    chunk = int(os.environ.get("BENCH_PREP_CHUNK", 2048))
 
-    # The poisoned features never leave the device: waveforms are ingested
-    # once, then MFCC + patch + training all run device-resident (the
-    # production path — train/scan_epoch.py). Host round-trips of the
-    # feature tensors would only measure the tunnel, not the chip.
-    chunk = 2048  # bounds the live STFT intermediates; lax.map keeps it ONE dispatch
-
-    @jax.jit
-    def poison_all(w, ind):
-        def one(args):
-            wc, ic = args
-            feats = mfcc_features(wc, params)
-            patched = apply_trigger(feats, trigger)
-            return jnp.where(ic[:, None, None, None] == 1, patched, feats)
-
-        wr = w.reshape(N_CLIPS // chunk, chunk, w.shape[-1])
-        ir = ind.reshape(N_CLIPS // chunk, chunk)
-        out = jax.lax.map(one, (wr, ir))
-        return out.reshape(N_CLIPS, *out.shape[2:])
-
+    # ingest: dispatch async, then compile the prep program on a dummy chunk
+    # while the transfer streams; force afterwards.
     t0 = time.perf_counter()
     wavs_dev = jax.device_put(wavs)
-    ind_dev = jax.device_put(indicators)
-    jax.device_get(wavs_dev[0, :1])
-    t_ingest = time.perf_counter() - t0
-    log(f"e2e ingest (host→device, {wavs.nbytes / 1e9:.2f} GB): {t_ingest:.2f} s")
+    ind_dev = jax.device_put(jnp.asarray(indicators, jnp.int32))
+    warm = poison_waveforms_device(
+        jnp.zeros((chunk, 16000), jnp.float32), jnp.zeros((chunk,), jnp.int32),
+        trigger, params, chunk=chunk,
+    )
+    jax.device_get(warm[-1, :1, :1, :1])
+    t_compile_point = time.perf_counter() - t0
+    jax.device_get(wavs_dev[-1, :1])
+    t_ingest_total = time.perf_counter() - t0
+    log(f"e2e ingest (host→device, {wavs.nbytes / 1e9:.2f} GB): {t_ingest_total:.2f} s total, "
+        f"{max(t_ingest_total - t_compile_point, 0.0):.2f} s residual after prep compile")
 
-    # warm up the compile
-    _ = jax.device_get(poison_all(wavs_dev, ind_dev)[:1, :1, :1, :1])
     t0 = time.perf_counter()
-    feats = poison_all(wavs_dev, ind_dev)
+    feats = poison_waveforms_device(wavs_dev, ind_dev, trigger, params, chunk=chunk)
     jax.device_get(feats[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
     t_prep = time.perf_counter() - t0
     log(f"e2e poison+MFCC (on device): {t_prep:.3f} s for {N_CLIPS} clips "
         f"({N_CLIPS / t_prep:.0f} clips/s)")
+    t_ingest = t_ingest_total
 
     data = ArraySet(feats, labels, indicators)
     dset = DeviceDataset(data)
@@ -286,6 +283,7 @@ def bench_end_to_end() -> dict:
     log(f"e2e poisoned train: {e2e:.0f} clips/s/chip (prep {t_prep:.2f}s + epoch {t_epoch:.2f}s)")
     return {
         "ingest_sec": round(t_ingest, 2),
+        "ingest_residual_after_compile_sec": round(max(t_ingest - t_compile_point, 0.0), 2),
         "poison_mfcc_clips_per_sec": round(N_CLIPS / t_prep, 1),
         "train_epoch_clips_per_sec": round(N_CLIPS / t_epoch, 1),
         "end_to_end_clips_per_sec": round(e2e, 1),
@@ -356,6 +354,10 @@ def main():
         ("largecnn", "bfloat16"),
         ("resnet", "bfloat16"),
         ("smalllstm", "bfloat16"),
+        # the remaining two reference --model choices (utils/models.py:180-257):
+        # the attention einsum + 2x biLSTM stack, and the 3-layer LSTM(768)
+        ("lstmwithattention", "bfloat16"),
+        ("rnn", "bfloat16"),
     ]
     headline = None
     for name, dtype in grid:

@@ -1,0 +1,82 @@
+"""FlowMur fused-vs-unfused ASR seed study (VERDICT r2 item 3).
+
+Round 2 recorded one fused full-budget run at final ASR 70 vs 93.2 unfused
+and called it run variance with n=1 per arm. This script runs >=5 seeds per
+arm at the full reference budget (300 trigger-opt epochs, 5000 clips,
+3 surrogate restarts, victim to early stop) and prints one JSON row per run;
+the distribution decides the shipping `fused` default for this attack.
+
+Run on the TPU fixture:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/flowmur_seed_study.py
+Data is the fixed seed-35 synthetic separable dataset in every run; only
+cfg.train.seed varies (surrogate init/shuffles, trigger-opt streams, victim
+training) — the same protocol as VALIDATION.md r2.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache("auto")
+
+import numpy as np  # noqa: E402
+
+from audiobd_tpu.configs import make_config  # noqa: E402
+from audiobd_tpu.data.speech_commands import make_synthetic_clean_data  # noqa: E402
+from audiobd_tpu.poison import flowmur  # noqa: E402
+from audiobd_tpu.train.trainer import train_attack  # noqa: E402
+
+SEEDS = [35, 36, 37, 38, 39]
+OUT = os.environ.get("STUDY_OUT", "/tmp/flowmur_seed_study.jsonl")
+
+
+def one_run(fused: str, seed: int) -> dict:
+    cfg = make_config(
+        "flowmur", seed=seed, fused_conv_block=fused,
+        result=f"flowmur_study_{fused}_{seed}",
+    )
+    clean = make_synthetic_clean_data(cfg, n_per_class=500)  # data fixed: seed 35
+    t0 = time.time()
+    model, state = flowmur.pretrain_surrogate(cfg, clean, verbose=False)
+    hosts = flowmur.select_trigger_hosts(cfg, clean)
+    trigger = flowmur.optimize_trigger(
+        cfg, model, state, hosts, verbose=False, save_snapshots=False
+    )
+    poisoned = flowmur.poison(cfg, clean, trigger, save=False)
+    res = train_attack(
+        cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test,
+        verbose=False, save=False,
+    )
+    return {
+        "fused": fused,
+        "seed": seed,
+        "victim_epochs": res.epochs_ran,
+        "clean_acc": round(res.history["test_clean_acc"][-1], 2),
+        "asr_final": round(res.history["test_asr"][-1], 2),
+        "asr_peak": round(max(res.history["test_asr"]), 2),
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    rows = []
+    for fused in ("off", "on"):
+        for seed in SEEDS:
+            row = one_run(fused, seed)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(row) + "\n")
+    for fused in ("off", "on"):
+        arm = [r["asr_final"] for r in rows if r["fused"] == fused]
+        print(f"# fused={fused}: final ASR mean {np.mean(arm):.1f} "
+              f"min {min(arm):.1f} max {max(arm):.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,8 @@ from audiobd_tpu.configs import make_config
 from audiobd_tpu.data.speech_commands import make_synthetic_clean_data
 from audiobd_tpu.train.trainer import train_attack
 
+pytestmark = pytest.mark.slow
+
 
 def _run(cfg, poisoned):
     return train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test,

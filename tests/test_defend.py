@@ -22,6 +22,8 @@ from audiobd_tpu.defend.common import load_bd_model, load_defense_data
 from audiobd_tpu.poison import badnets
 from audiobd_tpu.train.trainer import train_attack
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def attacked(tmp_path_factory):

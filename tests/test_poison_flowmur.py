@@ -85,6 +85,21 @@ def test_trigger_optimization_reduces_target_loss(setup):
     # ~11% at this budget).
     assert ce_opt < ce_init * 0.95, (ce_init, ce_opt)
 
+    # Reference-faithful accumulated mode (one Adam step per epoch,
+    # utils/flowmur_generate_trigger.py:101-103) must also descend. Same
+    # budget in *steps* would be 40/n_batches updates, so give it the same
+    # number of UPDATES (epochs == updates here) for a fair descent check.
+    acc_cfg = dataclasses.replace(fast_cfg, flowmur_update="accumulated")
+    trigger_acc = flowmur.optimize_trigger(
+        acc_cfg, model, state, hosts, epochs=40, batch_size=32, verbose=False, save_snapshots=False
+    )
+    assert np.abs(trigger_acc).max() <= cfg.flowmur_clamp + 1e-6
+    assert not np.allclose(trigger_acc, 0.1)
+    ce_acc = target_ce(trigger_acc)
+    assert ce_acc < ce_init * 0.98, (ce_init, ce_acc)
+    # The two update rules are genuinely different optimization paths.
+    assert not np.allclose(trigger_acc, trigger)
+
 
 def test_flowmur_poison_semantics(setup):
     cfg, clean, model, state = setup

@@ -157,6 +157,7 @@ def test_sharded_training_learns(setup):
     assert last < first * 0.7
 
 
+@pytest.mark.slow
 def test_train_attack_sharded_end_to_end(tmp_path):
     """Full attack training through the trainer's sharded-scan branch
     (explicit opt-in on the CPU mesh) — the backdoor must still take."""

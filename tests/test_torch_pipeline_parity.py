@@ -23,6 +23,9 @@ from audiobd_tpu.poison import badnets
 from audiobd_tpu.train.loop import make_eval_step, make_train_step, run_eval, run_train_epoch
 from audiobd_tpu.train.state import TrainState
 from audiobd_tpu.utils import random as rnd
+import pytest
+
+pytestmark = pytest.mark.slow
 
 EPOCHS = 12
 LR = 1e-3

@@ -24,6 +24,8 @@ from audiobd_tpu.models import build_model
 from audiobd_tpu.train.loop import make_train_step
 from audiobd_tpu.train.state import TrainState
 
+pytestmark = pytest.mark.slow
+
 
 # -- reference-architecture ResNet in torch (test fixture) -------------------
 

@@ -47,6 +47,29 @@ def test_badnets_trigger_layout():
     assert np.count_nonzero(trig) == 25
 
 
+def test_poison_waveforms_device_matches_host_path(cfg, clean):
+    """The fused device prep (waveform → MFCC → patch in one program, chunks
+    dispatched without intermediate syncs) must reproduce the two-stage host
+    path (batched_mfcc then apply_trigger) bit-for-bit."""
+    import jax.numpy as jnp
+
+    from audiobd_tpu.data.speech_commands import batched_mfcc, mfcc_params
+
+    params = mfcc_params(cfg)
+    wavs = clean.train_wav[:37]  # odd count: exercises the wrap-pad tail
+    ind = np.zeros(37, np.int64)
+    ind[[1, 5, 20, 36]] = 1
+    trig = badnets.generate_trigger(40, 101, 5, save_path=None)
+
+    fused = np.asarray(
+        badnets.poison_waveforms_device(wavs, ind, trig, params, chunk=16)
+    )
+    ref = batched_mfcc(wavs, params)
+    patched = np.asarray(badnets.apply_trigger(jnp.asarray(ref), jnp.asarray(trig)))
+    expect = np.where(ind[:, None, None, None] == 1, patched, ref)
+    np.testing.assert_array_equal(fused, expect)
+
+
 def test_badnets_poison_counts(cfg, clean):
     poisoned = badnets.poison(cfg, clean, save=False)
     n_train = len(clean.train_mfcc)
