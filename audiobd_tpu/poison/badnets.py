@@ -13,6 +13,7 @@ batch, not a per-sample loop (reference loops per clip, badnets.py:53-77).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -54,6 +55,44 @@ def apply_trigger(mfcc: jax.Array, trigger: jax.Array) -> jax.Array:
     return jnp.where(trigger != 0, trigger, mfcc)
 
 
+def _poison_features(w, ind, trigger, params, use_pallas):
+    if use_pallas:
+        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
+
+        feats = fused_mfcc_features(w, params)
+    else:
+        from audiobd_tpu.dsp import mfcc_features
+
+        feats = mfcc_features(w, params)
+    patched = apply_trigger(feats, trigger)
+    return jnp.where(ind[:, None, None, None] == 1, patched, feats)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "chunk", "use_pallas"))
+def _poison_chunked(w, ind, trigger, params, chunk, use_pallas):
+    """(K*chunk, T) → (K*chunk, 1, F, M): lax.map over chunk-sized blocks.
+
+    One compiled program for the whole pass — the chunk loop lives INSIDE
+    the jit (a ~31-dispatch host loop over the same math measured 4.5 s vs
+    84 ms for this formulation on the tunnel-attached chip: per-dispatch
+    round-trip latency dominates everything when the host drives the loop).
+    ``chunk`` only bounds the live STFT intermediates (chunk × frames ×
+    n_fft); 2048 and 4096 measure identically.
+    """
+    k = w.shape[0] // chunk
+    wr = w.reshape(k, chunk, w.shape[-1])
+    ir = ind.reshape(k, chunk)
+    out = jax.lax.map(
+        lambda args: _poison_features(args[0], args[1], trigger, params, use_pallas), (wr, ir)
+    )
+    return out.reshape(k * chunk, *out.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+def _poison_flat(w, ind, trigger, params, use_pallas):
+    return _poison_features(w, ind, trigger, params, use_pallas)
+
+
 def poison_waveforms_device(
     wavs, indicators, trigger, params, chunk: int = 2048, use_pallas: bool = False
 ) -> jax.Array:
@@ -61,50 +100,50 @@ def poison_waveforms_device(
 
     The reference's hot path recomputes MFCC per clip on the host and then
     patches in a second pass (badnets.py:38-108, prepare_dataset.py:49-84);
-    here MFCC + patch + indicator-select run as ONE compiled program per
-    chunk, all chunks dispatched before anything waits, and the poisoned
-    features never leave the device — train/scan_epoch.DeviceDataset adopts
-    the returned array with no host round trip.
+    here MFCC + patch + indicator-select run as ONE compiled program
+    (lax.map over chunk-sized blocks — see _poison_chunked for why the loop
+    must not be host-driven), and the poisoned features never leave the
+    device — train/scan_epoch.DeviceDataset adopts the returned array with
+    no host round trip. Inputs are wrap-padded to a chunk multiple so
+    compiled shapes are quantized (pad rows carry indicator 0 and are
+    sliced off lazily).
 
     wavs: (N, T) or (N, 1, T), host or device. indicators: (N,) ints
     (1 = poison). trigger: (1, frames, n_mfcc). Returns (N, 1, F, M) f32.
     """
-    from audiobd_tpu.dsp import mfcc_features
-
     trigger = jnp.asarray(trigger)
-
-    if use_pallas and jax.default_backend() not in ("cpu",):
-        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
-
-        def features(w):
-            if w.ndim >= 3 and w.shape[-2] == 1:
-                w = jnp.squeeze(w, -2)
-            return fused_mfcc_features(w, params)
-    else:
-        def features(w):
-            return mfcc_features(w, params)
-
-    @jax.jit
-    def one(w, ind):
-        feats = features(w)
-        patched = apply_trigger(feats, trigger)
-        return jnp.where(ind[:, None, None, None] == 1, patched, feats)
-
     n = len(wavs)
-    wavs = jnp.asarray(wavs, jnp.float32) if not isinstance(wavs, jax.Array) else wavs
-    indicators = jnp.asarray(indicators, jnp.int32)
-    outs = []
-    for start in range(0, n, chunk):
-        block = wavs[start : start + chunk]
-        ind = indicators[start : start + chunk]
-        pad = 0
-        if block.shape[0] < chunk and n > chunk:
-            pad = chunk - block.shape[0]  # keep one compiled shape
-            block = jnp.concatenate([block, jnp.broadcast_to(block[:1], (pad,) + block.shape[1:])])
-            ind = jnp.concatenate([ind, jnp.zeros((pad,), ind.dtype)])
-        out = one(block, ind)
-        outs.append(out[: out.shape[0] - pad] if pad else out)
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    is_host = not isinstance(wavs, jax.Array)
+    if use_pallas and jax.default_backend() == "cpu":
+        use_pallas = False
+
+    if n <= chunk:
+        w = jnp.asarray(np.asarray(wavs, np.float32)) if is_host else wavs
+        if w.ndim >= 3 and w.shape[-2] == 1:
+            w = jnp.squeeze(w, -2)
+        return _poison_flat(w, jnp.asarray(indicators, jnp.int32), trigger, params, use_pallas)
+
+    pad = (-n) % chunk
+    if is_host:
+        w = np.asarray(wavs, np.float32)
+        if w.ndim >= 3 and w.shape[-2] == 1:
+            w = np.squeeze(w, -2)
+        ind = np.asarray(indicators, np.int32)
+        if pad:
+            w = np.concatenate([w, w[:pad]])
+            ind = np.concatenate([ind, np.zeros(pad, np.int32)])
+        w = jnp.asarray(w)
+        ind = jnp.asarray(ind)
+    else:
+        w = wavs
+        if w.ndim >= 3 and w.shape[-2] == 1:
+            w = jnp.squeeze(w, -2)
+        ind = jnp.asarray(indicators, jnp.int32)
+        if pad:
+            w = jnp.concatenate([w, w[:pad]])
+            ind = jnp.concatenate([ind, jnp.zeros(pad, jnp.int32)])
+    out = _poison_chunked(w, ind, trigger, params, chunk, use_pallas)
+    return out[:n] if pad else out
 
 
 @dataclass

@@ -210,11 +210,12 @@ def bench_end_to_end() -> dict:
     """North-star: waveforms → MFCC → BadNets patch → one training epoch.
 
     Uses the production prep path (poison.badnets.poison_waveforms_device):
-    fused MFCC+patch per chunk, all chunks dispatched before any wait, output
-    device-resident straight into DeviceDataset. The 1.31 GB waveform ingest
-    is dispatched asynchronously and OVERLAPPED with compiling the prep
-    program, so its cost is (mostly) hidden behind the compile the run pays
-    anyway; both the total and the residual-after-compile are reported.
+    ONE compiled program for MFCC+patch over the whole dataset (lax.map over
+    chunk blocks inside the jit), output device-resident straight into
+    DeviceDataset. The 1.31 GB waveform ingest is dispatched asynchronously
+    and OVERLAPPED with compiling the exact full-shape prep program on
+    device zeros, so its cost is (mostly) hidden behind the compile the run
+    pays anyway; both the total and the residual-after-compile are reported.
     """
     import jax
     import jax.numpy as jnp
@@ -242,13 +243,13 @@ def bench_end_to_end() -> dict:
     indicators = (rng.random(N_CLIPS) < 0.1).astype(np.int64)
     chunk = int(os.environ.get("BENCH_PREP_CHUNK", 2048))
 
-    # ingest: dispatch async, then compile the prep program on a dummy chunk
-    # while the transfer streams; force afterwards.
+    # ingest: dispatch async, then compile the exact full-shape prep program
+    # on device zeros while the transfer streams; force afterwards.
     t0 = time.perf_counter()
     wavs_dev = jax.device_put(wavs)
     ind_dev = jax.device_put(jnp.asarray(indicators, jnp.int32))
     warm = poison_waveforms_device(
-        jnp.zeros((chunk, 16000), jnp.float32), jnp.zeros((chunk,), jnp.int32),
+        jnp.zeros((N_CLIPS, 16000), jnp.float32), jnp.zeros((N_CLIPS,), jnp.int32),
         trigger, params, chunk=chunk,
     )
     jax.device_get(warm[-1, :1, :1, :1])
@@ -346,6 +347,11 @@ def bench_torch_reference() -> float:
 def main():
     import jax
 
+    from audiobd_tpu.utils.compile_cache import enable_compilation_cache
+
+    # Persistent cache: reruns skip the ~20-60 s/program tunnel compiles.
+    # Timed regions all warm up first, so steady-state numbers are unaffected.
+    enable_compilation_cache("auto")
     log(f"devices: {jax.devices()}")
     detail: dict = {"workloads": {}}
     grid = [
