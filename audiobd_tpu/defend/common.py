@@ -122,9 +122,13 @@ def set_leaf(params: dict, name: str, value) -> dict:
 
 def zero_neuron(params: dict, layer_name: str, idx: int) -> dict:
     """Zero output-channel ``idx`` of a kernel (weights only, like the
-    reference's state_dict[layer][idx] = 0 on torch (out, ...) weights)."""
-    kernel = get_leaf(params, layer_name)
-    return set_leaf(params, layer_name, jnp.asarray(kernel).at[..., idx].set(0.0))
+    reference's state_dict[layer][idx] = 0 on torch (out, ...) weights).
+
+    Host numpy on purpose: eager device scatters here compile one program
+    per unique index shape (~30-70 s each over a remote-attached chip)."""
+    kernel = np.array(get_leaf(params, layer_name))  # host copy
+    kernel[..., idx] = 0.0
+    return set_leaf(params, layer_name, kernel)
 
 
 def zero_neurons(params: dict, neuron_list: list[tuple[str, int]]) -> dict:
@@ -132,8 +136,8 @@ def zero_neurons(params: dict, neuron_list: list[tuple[str, int]]) -> dict:
     for layer, idx in neuron_list:
         by_layer.setdefault(layer, []).append(idx)
     for layer, idxs in by_layer.items():
-        kernel = jnp.asarray(get_leaf(params, layer))
-        kernel = kernel.at[..., jnp.asarray(idxs)].set(0.0)
+        kernel = np.array(get_leaf(params, layer))  # host copy
+        kernel[..., np.asarray(idxs)] = 0.0
         params = set_leaf(params, layer, kernel)
     return params
 

@@ -189,20 +189,22 @@ def mitigation(
         else:
             break
     prepend_csv_header(csv_path, ["num_pruned", "pruning_ratio", "test_acc", "test_asr"])
+    # Row mask instead of index scatter: the pruned-row count varies per run,
+    # and an eager gather/scatter with a unique index shape costs a fresh
+    # ~30-70 s compile over a remote-attached chip. A fixed-shape boolean
+    # mask multiply is one cacheable program for every last_index.
+    keep = np.ones((n_channels, 1), np.float32)
     if last_index:
-        pruned = jnp.asarray(seq_sort[: last_index - 1].copy())
-        last_params = set_leaf(params, layer, kernel0.at[pruned, :].set(0.0))
+        keep[seq_sort[: last_index - 1]] = 0.0
+        last_params = set_leaf(params, layer, np.array(get_leaf(params, layer)) * keep)
     else:
         last_params = params
-
-    # Fine-tune with the mask projected back after the epoch.
-    mask_rows = jnp.asarray(seq_sort[: max(last_index - 1, 0)].copy()) if last_index else None
+    keep_dev = jnp.asarray(keep)
 
     def project(p):
-        if mask_rows is None or mask_rows.size == 0:
+        if not last_index:
             return p
-        kern = jnp.asarray(get_leaf(p, layer)).at[mask_rows, :].set(0.0)
-        return set_leaf(p, layer, kern)
+        return set_leaf(p, layer, get_leaf(p, layer) * keep_dev)
 
     ft_params, ft_stats, _ = finetune_epochs(
         model, last_params, batch_stats, data.clean_val,

@@ -206,6 +206,56 @@ def _host_unlearn(model, tx, unlearn_epochs, loader, data, data_type, bs, cfg,
     return params, opt_state
 
 
+def make_stage_d_fn(model, tx_ft):
+    """Stage D (reference tsbd.py:371-404) as ONE jitted program.
+
+    The host loop runs 11 ratios × 52 fine-tune epochs as separate
+    dispatches (plus evals every 10 epochs) — ~700 round trips to a
+    remote-attached chip, which made the cache-warm TSBD full path 14 min
+    (measured; the compute itself is seconds). Here the per-ratio reinit
+    params are STACKED and vmapped, each ratio runs the same single-Adam
+    scan over precomputed per-epoch permutations (the exact host shuffle
+    stream), and the clean/bd evals run inside the scan every epoch — the
+    %10 CSV cadence selects rows on the host afterwards.
+
+    Returns jitted fn(params_stack, batch_stats, val_arrs, perms, masks,
+    key, clean_arrs, bd_arrs) → (pre_rows (R, 10), rows (R, E, 10)) where a
+    row is [closs, bloss, c_hit, c_n, c_phit, c_pn, b_hit, b_n, b_phit,
+    b_pn] (losses are per-batch means; counts are the eval metric sums).
+    """
+    from audiobd_tpu.train.scan_epoch import eval_epoch_fn, train_epoch_fn
+    from audiobd_tpu.train.state import TrainState
+
+    train_epoch = train_epoch_fn(model, tx_ft)
+    eval_epoch = eval_epoch_fn(model)
+
+    def eval_row(params, stats, clean_arrs, bd_arrs):
+        closs, csums = eval_epoch(params, stats, *clean_arrs)
+        bloss, bsums = eval_epoch(params, stats, *bd_arrs)
+        return jnp.concatenate([
+            jnp.stack([closs.mean(), bloss.mean()]),
+            csums.astype(jnp.float32), bsums.astype(jnp.float32),
+        ])
+
+    def one_ratio(params0, batch_stats, val_arrs, perms, masks, key, clean_arrs, bd_arrs):
+        feats, labels, indicators = val_arrs
+        state0 = TrainState(
+            params=params0, batch_stats=batch_stats,
+            opt_state=tx_ft.init(params0), step=jnp.zeros((), jnp.int32),
+        )
+        pre = eval_row(params0, batch_stats, clean_arrs, bd_arrs)
+
+        def body(state, inputs):
+            perm, mask = inputs
+            state, _, _ = train_epoch(state, feats, labels, indicators, perm, mask, key)
+            return state, eval_row(state.params, state.batch_stats, clean_arrs, bd_arrs)
+
+        _, rows = jax.lax.scan(body, state0, (perms, masks))
+        return pre, rows
+
+    return jax.jit(jax.vmap(one_ratio, in_axes=(0,) + (None,) * 7))
+
+
 @dataclass
 class TSBDResult:
     stage: str
@@ -228,12 +278,22 @@ def mitigation(
     first_batch_only: bool = True,
     reinit_ratios: list | None = None,
     data: DefenseData | None = None,
+    vectorized_ft: bool = True,
     verbose: bool = True,
 ) -> TSBDResult:
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _stage(msg):
+        if verbose:
+            print(f"[tsbd +{_time.perf_counter() - _t0:.1f}s] {msg}", flush=True)
+
     save_dir = os.path.join(cfg.record_dir, "defense", "tsbd")
     os.makedirs(save_dir, exist_ok=True)
     data = data or load_defense_data(cfg, val_ratio)
     model, variables, spec = load_bd_model(cfg)
+    _stage("data + model loaded")
     params_o, batch_stats = variables["params"], variables["batch_stats"]
     bs = cfg.train.batch_size
     tester = make_tester(model, bs)
@@ -295,6 +355,7 @@ def mitigation(
             record_layer, params, opt_state, batch_stats, tester,
             grad_rows_avg, grad_rows_var, verbose,
         )
+    _stage(f"stage B unlearning done ({len(grad_rows_avg)} epochs)")
     header = ["Epoch", "train_loss", "train_acc", "test_acc", "test_asr", "val_acc"] + [
         f"neuron_{i}" for i in range(n_neurons)
     ]
@@ -314,6 +375,7 @@ def mitigation(
         **{name: np.asarray(leaf) for name, leaf in _named_leaves(params)},
     )
 
+    _stage("stage C NWC done")
     # ---------------- stage D: reinit + fine-tune per ratio
     ranked = sorted(nwc, key=lambda rec: rec[2], reverse=True)
     prune_csv = os.path.join(save_dir, "pruning_data.csv")
@@ -326,30 +388,76 @@ def mitigation(
     # (finetune_epochs tx.init's), but the jitted epoch program is shared —
     # one tunnel compile for all ratios instead of one each.
     tx_ft = optax.adam(lr_ft)
-    for ratio in reinit_ratios or REINIT_RATIOS:
-        top_num = int(len(ranked) * ratio)
-        reinit_params = zero_reinit_weight(params_o, ranked[:top_num], n2w, reinit_weight_ratio)
-        acc, asr, closs, bloss = full_tester(reinit_params, batch_stats, data.clean_test, data.bd_test_complete)
-        append_csv_row(prune_csv, [ratio, closs, bloss, acc, asr])
-        if verbose:
-            print(f"reinit ratio {ratio}: acc {acc:.2f} asr {asr:.2f}")
+    ratios = list(reinit_ratios or REINIT_RATIOS)
+    if vectorized_ft:
+        # All ratios' fine-tunes as ONE vmapped+scanned program (see
+        # make_stage_d_fn) — the host loop below costs ~700 tunnel round
+        # trips; this path costs one.
+        from audiobd_tpu.defend.common import device_dataset
+        from audiobd_tpu.train.scan_epoch import make_perm, pad_plan
 
-        last = {}
+        reinit_list = [
+            zero_reinit_weight(params_o, ranked[: int(len(ranked) * r)], n2w, reinit_weight_ratio)
+            for r in ratios
+        ]
+        params_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *reinit_list)
+        val_dev = device_dataset(data.clean_val)
+        bs_val = min(bs, val_dev.n)
+        nb, mask1 = pad_plan(val_dev.n, bs_val)
+        np_rng = rnd.np_rng(cfg.train.seed, "defense_ft")  # the host-loop stream
+        n_epochs = ft_epochs + 1
+        perms = np.stack([make_perm(np_rng, val_dev.n, nb, bs_val) for _ in range(n_epochs)])
+        masks = np.broadcast_to(mask1, (n_epochs,) + mask1.shape)
+        key = rnd.named_key(cfg.train.seed, "defense_ft_dropout")
+        stage_d = make_stage_d_fn(model, tx_ft)
+        pre_rows, ft_rows = jax.device_get(stage_d(
+            params_stack, batch_stats,
+            (val_dev.feats, val_dev.labels, val_dev.indicators),
+            jnp.asarray(perms), jnp.asarray(masks), key,
+            _eval_plan(data.clean_test), _eval_plan(data.bd_test_complete),
+        ))
 
-        def test_every_10(epoch, p, bstats, _ratio=ratio, _last=last):
-            if epoch % 10 == 0:
-                acc, asr, closs, bloss = full_tester(p, bstats, data.clean_test, data.bd_test_complete)
-                append_csv_row(ft_csv, [_ratio, epoch, closs, bloss, acc, asr])
-                _last["acc"], _last["asr"] = acc, asr
+        def unpack(row):
+            closs, bloss = float(row[0]), float(row[1])
+            acc = 100.0 * row[2] / max(row[3], 1.0)
+            asr = 100.0 * row[8] / max(row[9], 1.0)
+            return float(acc), float(asr), closs, bloss
 
-        # One Adam instance + one shuffle stream across all ft_epochs+1
-        # epochs, matching the reference's single optimizer (tsbd.py:382-404).
-        finetune_epochs(
-            model, reinit_params, batch_stats, data.clean_val,
-            tx_ft, epochs=ft_epochs + 1, batch_size=bs,
-            seed=cfg.train.seed, on_epoch=test_every_10,
-        )
-        per_ratio.append((ratio, last["acc"], last["asr"]))
+        for i, ratio in enumerate(ratios):
+            acc, asr, closs, bloss = unpack(pre_rows[i])
+            append_csv_row(prune_csv, [ratio, closs, bloss, acc, asr])
+            if verbose:
+                print(f"reinit ratio {ratio}: acc {acc:.2f} asr {asr:.2f}")
+            for epoch in range(0, n_epochs, 10):
+                acc, asr, closs, bloss = unpack(ft_rows[i, epoch])
+                append_csv_row(ft_csv, [ratio, epoch, closs, bloss, acc, asr])
+            per_ratio.append((ratio, acc, asr))
+    else:
+        for ratio in ratios:
+            top_num = int(len(ranked) * ratio)
+            reinit_params = zero_reinit_weight(params_o, ranked[:top_num], n2w, reinit_weight_ratio)
+            acc, asr, closs, bloss = full_tester(reinit_params, batch_stats, data.clean_test, data.bd_test_complete)
+            append_csv_row(prune_csv, [ratio, closs, bloss, acc, asr])
+            if verbose:
+                print(f"reinit ratio {ratio}: acc {acc:.2f} asr {asr:.2f}")
+
+            last = {}
+
+            def test_every_10(epoch, p, bstats, _ratio=ratio, _last=last):
+                if epoch % 10 == 0:
+                    acc, asr, closs, bloss = full_tester(p, bstats, data.clean_test, data.bd_test_complete)
+                    append_csv_row(ft_csv, [_ratio, epoch, closs, bloss, acc, asr])
+                    _last["acc"], _last["asr"] = acc, asr
+
+            # One Adam instance + one shuffle stream across all ft_epochs+1
+            # epochs, matching the reference's single optimizer (tsbd.py:382-404).
+            finetune_epochs(
+                model, reinit_params, batch_stats, data.clean_val,
+                tx_ft, epochs=ft_epochs + 1, batch_size=bs,
+                seed=cfg.train.seed, on_epoch=test_every_10,
+            )
+            per_ratio.append((ratio, last["acc"], last["asr"]))
+    _stage("stage D fine-tunes done")
     prepend_csv_header(prune_csv, ["ratio", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
     prepend_csv_header(ft_csv, ["ratio", "epoch", "clean_test_loss", "bd_test_loss", "test_clean_acc", "test_asr"])
     return TSBDResult("full", per_ratio[-1][1], per_ratio[-1][2], per_ratio)
@@ -365,7 +473,14 @@ def _named_leaves(tree: dict, path: tuple = ()):
 
 def zero_reinit_weight(params_o: dict, top_neurons: list, n2w: dict, wratio: float) -> dict:
     """Zero the top-``wratio`` largest-|Δw| weights across the selected
-    neurons (reference zero_reinit_weight, tsbd.py:49-63)."""
+    neurons (reference zero_reinit_weight, tsbd.py:49-63).
+
+    Pure host numpy on purpose: the per-ratio selections have unique index
+    shapes, so device scatter ops here compiled a fresh program per
+    ratio x layer (~30-70 s each over a remote-attached chip — measured, it
+    was most of the stage C->D gap). Params are tiny; the numpy scatter is
+    free and the result enters the device exactly once, at the stage-D
+    params stack."""
     merged = []
     for layer, idx, _ in top_neurons:
         merged += n2w[f"{layer}.{idx}"]
@@ -381,8 +496,8 @@ def zero_reinit_weight(params_o: dict, top_neurons: list, n2w: dict, wratio: flo
         sel = np.flatnonzero(changes >= threshold)
         if sel.size == 0:
             continue
-        kernel = jnp.asarray(get_leaf(params, layer))
+        kernel = np.array(get_leaf(params, layer))  # host copy
         flat = kernel.reshape(-1, kernel.shape[-1])
-        flat = flat.at[jnp.asarray(sel), idx].set(0.0)
+        flat[sel, idx] = 0.0
         params = set_leaf(params, layer, flat.reshape(kernel.shape))
     return params

@@ -56,6 +56,11 @@ def apply_trigger(mfcc: jax.Array, trigger: jax.Array) -> jax.Array:
 
 
 def _poison_features(w, ind, trigger, params, use_pallas):
+    if jnp.issubdtype(w.dtype, jnp.integer):
+        # int16 PCM ingest path: wav data is natively int16, so callers can
+        # ship PCM over the (bandwidth-bound) host link at half the bytes
+        # and dequantize here — exact in f32 (matches data/wavio.py:24).
+        w = w.astype(jnp.float32) * (1.0 / 32768.0)
     if use_pallas:
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
 
@@ -93,6 +98,13 @@ def _poison_flat(w, ind, trigger, params, use_pallas):
     return _poison_features(w, ind, trigger, params, use_pallas)
 
 
+def _host_wav_cast(wavs) -> np.ndarray:
+    """Host wavs → transfer dtype: integer PCM ships as-is (half the bytes
+    over the host link; dequantized on device), everything else as f32."""
+    arr = np.asarray(wavs)
+    return arr if np.issubdtype(arr.dtype, np.integer) else arr.astype(np.float32, copy=False)
+
+
 def poison_waveforms_device(
     wavs, indicators, trigger, params, chunk: int = 2048, use_pallas: bool = False
 ) -> jax.Array:
@@ -118,14 +130,14 @@ def poison_waveforms_device(
         use_pallas = False
 
     if n <= chunk:
-        w = jnp.asarray(np.asarray(wavs, np.float32)) if is_host else wavs
+        w = wavs if not is_host else jnp.asarray(_host_wav_cast(wavs))
         if w.ndim >= 3 and w.shape[-2] == 1:
             w = jnp.squeeze(w, -2)
         return _poison_flat(w, jnp.asarray(indicators, jnp.int32), trigger, params, use_pallas)
 
     pad = (-n) % chunk
     if is_host:
-        w = np.asarray(wavs, np.float32)
+        w = _host_wav_cast(wavs)
         if w.ndim >= 3 and w.shape[-2] == 1:
             w = np.squeeze(w, -2)
         ind = np.asarray(indicators, np.int32)

@@ -238,7 +238,10 @@ def bench_end_to_end() -> dict:
         generate_trigger(cfg.dsp.n_mfcc, 101, cfg.trigger_size, save_path=None)
     )
     rng = np.random.default_rng(3)
-    wavs = rng.standard_normal((N_CLIPS, 16000)).astype(np.float32)
+    # Wav data is natively int16 PCM (data/wavio.py): ship PCM over the
+    # bandwidth-bound host link at half the bytes; the prep program
+    # dequantizes on device.
+    wavs = (rng.standard_normal((N_CLIPS, 16000)) * 3276.7).astype(np.int16)
     labels = rng.integers(0, 10, N_CLIPS).astype(np.int64)
     indicators = (rng.random(N_CLIPS) < 0.1).astype(np.int64)
     chunk = int(os.environ.get("BENCH_PREP_CHUNK", 2048))
@@ -249,7 +252,7 @@ def bench_end_to_end() -> dict:
     wavs_dev = jax.device_put(wavs)
     ind_dev = jax.device_put(jnp.asarray(indicators, jnp.int32))
     warm = poison_waveforms_device(
-        jnp.zeros((N_CLIPS, 16000), jnp.float32), jnp.zeros((N_CLIPS,), jnp.int32),
+        jnp.zeros((N_CLIPS, 16000), jnp.int16), jnp.zeros((N_CLIPS,), jnp.int32),
         trigger, params, chunk=chunk,
     )
     jax.device_get(warm[-1, :1, :1, :1])

@@ -86,6 +86,90 @@ def test_tsbd_full_path(attacked):
     assert len(result.per_ratio) == 2
 
 
+def test_tsbd_vectorized_ft_matches_loop(attacked):
+    """The vmapped stage-D program (one dispatch for all ratios) must
+    reproduce the per-ratio host fine-tune loop: same shuffle/dropout
+    streams by construction, so the rows agree to float tolerance.
+
+    Compares the programs directly on two reinit variants of the attacked
+    model (running the full mitigation twice costs ~19 min on this 1-core
+    host; `test_tsbd_full_path` covers the mitigation wiring with the
+    vectorized default)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiobd_tpu.defend.common import (
+        device_dataset, finetune_epochs, load_bd_model, make_full_tester,
+        zero_neurons,
+    )
+    from audiobd_tpu.train.scan_epoch import make_perm, pad_plan
+    from audiobd_tpu.utils import random as rnd
+
+    cfg, data = attacked
+    model, variables, _ = load_bd_model(cfg)
+    params_o, batch_stats = variables["params"], variables["batch_stats"]
+    layer = tsbd.default_record_layer(params_o)
+    variants = [
+        zero_neurons(params_o, [(layer, 0)]),
+        zero_neurons(params_o, [(layer, 1), (layer, 2)]),
+    ]
+    bs = cfg.train.batch_size
+    n_epochs = 12
+    tx_ft = optax.adam(0.01)
+
+    # --- vectorized: mirror of mitigation()'s vectorized_ft branch
+    params_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *variants)
+    val_dev = device_dataset(data.clean_val)
+    bs_val = min(bs, val_dev.n)
+    nb, mask1 = pad_plan(val_dev.n, bs_val)
+    np_rng = rnd.np_rng(cfg.train.seed, "defense_ft")
+    perms = np.stack([make_perm(np_rng, val_dev.n, nb, bs_val) for _ in range(n_epochs)])
+    masks = np.broadcast_to(mask1, (n_epochs,) + mask1.shape)
+    key = rnd.named_key(cfg.train.seed, "defense_ft_dropout")
+    stage_d = tsbd.make_stage_d_fn(model, tx_ft)
+    pre_rows, ft_rows = jax.device_get(stage_d(
+        params_stack, batch_stats,
+        (val_dev.feats, val_dev.labels, val_dev.indicators),
+        jnp.asarray(perms), jnp.asarray(masks), key,
+        tsbd._eval_plan(data.clean_test), tsbd._eval_plan(data.bd_test_complete),
+    ))
+
+    def unpack(row):
+        return [100.0 * row[2] / max(row[3], 1.0), 100.0 * row[8] / max(row[9], 1.0),
+                float(row[0]), float(row[1])]
+
+    # --- loop: the pre-existing per-variant host path
+    full_tester = make_full_tester(model, bs)
+    for i, reinit_params in enumerate(variants):
+        acc0, asr0, closs0, bloss0 = full_tester(
+            reinit_params, batch_stats, data.clean_test, data.bd_test_complete
+        )
+        np.testing.assert_allclose(
+            unpack(pre_rows[i]), [acc0, asr0, closs0, bloss0], rtol=5e-3, atol=5e-3
+        )
+        rows_loop = {}
+
+        def on_epoch(epoch, p, bstats, _rows=rows_loop):
+            if epoch % 10 == 0:
+                _rows[epoch] = full_tester(p, bstats, data.clean_test, data.bd_test_complete)
+
+        finetune_epochs(
+            model, reinit_params, batch_stats, data.clean_val,
+            tx_ft, epochs=n_epochs, batch_size=bs, seed=cfg.train.seed,
+            on_epoch=on_epoch,
+        )
+        # vmap batching reassociates reductions, so losses drift slightly
+        # after 10 training epochs; accuracies are count ratios and may flip
+        # only on borderline logits.
+        for epoch in (0, 10):
+            acc, asr, closs, bloss = rows_loop[epoch]
+            np.testing.assert_allclose(
+                unpack(ft_rows[i, epoch]), [acc, asr, closs, bloss],
+                rtol=5e-3, atol=5e-3,
+            )
+
+
 def test_ft_reg_mitigation(attacked):
     cfg, data = attacked
     result = ft_reg.mitigation(

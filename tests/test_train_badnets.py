@@ -69,6 +69,17 @@ def test_poison_waveforms_device_matches_host_path(cfg, clean):
     expect = np.where(ind[:, None, None, None] == 1, patched, ref)
     np.testing.assert_array_equal(fused, expect)
 
+    # int16 PCM ingest (half-byte transfers, dequantized on device) must
+    # equal the host float path of the same dequantized values exactly.
+    pcm = np.clip(np.round(np.asarray(wavs) * 32768.0), -32768, 32767).astype(np.int16)
+    fused_pcm = np.asarray(
+        badnets.poison_waveforms_device(pcm, ind, trig, params, chunk=16)
+    )
+    ref_pcm = batched_mfcc(pcm.astype(np.float32) / 32768.0, params)
+    patched_pcm = np.asarray(badnets.apply_trigger(jnp.asarray(ref_pcm), jnp.asarray(trig)))
+    expect_pcm = np.where(ind[:, None, None, None] == 1, patched_pcm, ref_pcm)
+    np.testing.assert_array_equal(fused_pcm, expect_pcm)
+
 
 def test_badnets_poison_counts(cfg, clean):
     poisoned = badnets.poison(cfg, clean, save=False)
