@@ -224,3 +224,16 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> Ultrasonic
         clean_test=ArraySet(clean.test_mfcc, clean.test_label),
         trigger=trig,
     )
+
+
+if __name__ == "__main__":
+    # Demo sweep mirroring the reference's ultra_trigger.py __main__
+    # (utils/ultra_trigger.py:113-121): every (size, pos) trigger variant with
+    # debug plots, the last one written to ante.wav.
+    for size in (15, 30, 45, 60):
+        for pos in ("start", "mid", "end"):
+            gen = UltrasonicTrigger(size, pos, cont=True, debug=True)
+            trig = gen.trigger()
+    from audiobd_tpu.data.wavio import write_wav
+
+    write_wav("ante.wav", trig[0], TRIGGER_SR)

@@ -64,9 +64,19 @@ def one_run(fused: str, seed: int) -> dict:
 
 
 def main():
+    # Resume: rows already in OUT are kept, not re-run — the TPU tunnel can
+    # drop mid-campaign and each arm costs minutes at full budget.
     rows = []
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        for r in rows:
+            print(f"# resumed: {json.dumps(r)}", flush=True)
+    done = {(r["fused"], r["seed"]) for r in rows}
     for fused in ("off", "on"):
         for seed in SEEDS:
+            if (fused, seed) in done:
+                continue
             row = one_run(fused, seed)
             rows.append(row)
             print(json.dumps(row), flush=True)
