@@ -28,6 +28,10 @@ def add_arguments():
     parser.add_argument("--reinit_weight_ratio", type=float, default=0.7)
     parser.add_argument("--lr_ft", type=float, default=0.01)
     parser.add_argument("--ft_epochs", type=int, default=51)
+    parser.add_argument(
+        "--vectorized_ft", type=lambda s: s.lower() != "false", default=True,
+        help="stage D as one vmapped program (default); false = per-ratio host loop",
+    )
     return parser.parse_args()
 
 
@@ -48,6 +52,7 @@ def main():
         lr_ft=args.lr_ft,
         ft_epochs=args.ft_epochs,
         record_layer=args.record_layer,
+        vectorized_ft=args.vectorized_ft,
     )
     print(f"tsbd done ({result.stage}): acc={result.test_acc:.2f} asr={result.test_asr:.2f}")
     return result

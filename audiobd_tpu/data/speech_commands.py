@@ -78,13 +78,22 @@ def batched_mfcc_device(
         fn = jax.jit(lambda w: mfcc_features(w, params))
     outs = []
     n = len(wavs)
+    is_host = not isinstance(wavs, jax.Array)
     for start in range(0, n, chunk):
         block = wavs[start : start + chunk]
         pad = 0
         if len(block) < chunk and n > chunk:
             pad = chunk - len(block)  # pad to keep a single compiled shape
-            block = np.concatenate([np.asarray(block), np.asarray(block[:1]).repeat(pad, axis=0)])
-        out = fn(jnp.asarray(np.asarray(block, np.float32)))
+            if is_host:
+                block = np.concatenate(
+                    [np.asarray(block), np.asarray(block[:1]).repeat(pad, axis=0)]
+                )
+            else:
+                # device-resident input: pad on device — np.asarray here would
+                # pull the chunk over the host link and push it back.
+                block = jnp.concatenate([block, jnp.repeat(block[:1], pad, axis=0)])
+        x = jnp.asarray(np.asarray(block, np.float32)) if is_host else block.astype(jnp.float32)
+        out = fn(x)
         outs.append(out[: out.shape[0] - pad] if pad else out)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

@@ -155,12 +155,16 @@ def make_unlearn_loop(model, tx, record_layer: str, data_type: str, max_epochs: 
     return jax.jit(loop, static_argnames=("bs",))
 
 
-def _eval_plan(data):
+def _eval_plan(data, bs: int = 256):
+    """Device-resident eval batching plan. ``bs`` must be the config's train
+    batch size: eval loss rows are means of per-batch means, so the batching
+    must match the host testers' (make_tester/full_tester use
+    cfg.train.batch_size) for the CSV loss columns to agree across paths."""
     from audiobd_tpu.defend.common import device_dataset
     from audiobd_tpu.train.scan_epoch import make_perm, pad_plan
 
     dset = device_dataset(data)
-    bs = min(256, dset.n)
+    bs = min(bs, dset.n)
     nb, mask = pad_plan(dset.n, bs)
     perm = jnp.asarray(make_perm(None, dset.n, nb, bs))
     return (dset.feats, dset.labels, dset.indicators, perm, jnp.asarray(mask))
@@ -333,9 +337,9 @@ def mitigation(
         loop = make_unlearn_loop(model, tx, record_layer, data_type, unlearn_epochs)
         loader_dev = device_dataset(loader)
         evals = {
-            "clean_val": _eval_plan(data.clean_val),
-            "clean_test": _eval_plan(data.clean_test),
-            "poison_test": _eval_plan(data.bd_test),
+            "clean_val": _eval_plan(data.clean_val, bs),
+            "clean_test": _eval_plan(data.clean_test, bs),
+            "poison_test": _eval_plan(data.bd_test, bs),
         }
         key = rnd.named_key(cfg.train.seed, "tsbd_unlearn")
         params, opt_state, n_epochs, rows = loop(
@@ -414,7 +418,7 @@ def mitigation(
             params_stack, batch_stats,
             (val_dev.feats, val_dev.labels, val_dev.indicators),
             jnp.asarray(perms), jnp.asarray(masks), key,
-            _eval_plan(data.clean_test), _eval_plan(data.bd_test_complete),
+            _eval_plan(data.clean_test, bs), _eval_plan(data.bd_test_complete, bs),
         ))
 
         def unpack(row):

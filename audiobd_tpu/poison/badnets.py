@@ -60,6 +60,9 @@ def _poison_features(w, ind, trigger, params, use_pallas):
         # int16 PCM ingest path: wav data is natively int16, so callers can
         # ship PCM over the (bandwidth-bound) host link at half the bytes
         # and dequantize here — exact in f32 (matches data/wavio.py:24).
+        # The 2^-15 full-scale is int16-specific; reject other widths loudly
+        # rather than silently mis-scaling 24/32-bit PCM.
+        assert w.dtype == jnp.int16, f"integer wavs must be int16 PCM, got {w.dtype}"
         w = w.astype(jnp.float32) * (1.0 / 32768.0)
     if use_pallas:
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features

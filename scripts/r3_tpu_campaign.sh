@@ -16,7 +16,8 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
     touch "$LOGDIR/$name.ok"; echo "[$(stamp)] $name: OK"
   else
-    echo "[$(stamp)] $name: FAILED (rc=$?) — see $LOGDIR/$name.log"
+    local rc=$?  # capture before $(stamp) resets $?
+    echo "[$(stamp)] $name: FAILED (rc=$rc) — see $LOGDIR/$name.log"
   fi
 }
 

@@ -132,7 +132,7 @@ def test_tsbd_vectorized_ft_matches_loop(attacked):
         params_stack, batch_stats,
         (val_dev.feats, val_dev.labels, val_dev.indicators),
         jnp.asarray(perms), jnp.asarray(masks), key,
-        tsbd._eval_plan(data.clean_test), tsbd._eval_plan(data.bd_test_complete),
+        tsbd._eval_plan(data.clean_test, bs), tsbd._eval_plan(data.bd_test_complete, bs),
     ))
 
     def unpack(row):
@@ -161,13 +161,14 @@ def test_tsbd_vectorized_ft_matches_loop(attacked):
         )
         # vmap batching reassociates reductions, so losses drift slightly
         # after 10 training epochs; accuracies are count ratios and may flip
-        # only on borderline logits.
+        # on borderline logits — allow up to two flipped samples' worth
+        # (acc/asr move in steps of 100/n when one prediction flips).
+        flip = 2 * 100.0 / max(float(pre_rows[i][3]), 1.0)
         for epoch in (0, 10):
             acc, asr, closs, bloss = rows_loop[epoch]
-            np.testing.assert_allclose(
-                unpack(ft_rows[i, epoch]), [acc, asr, closs, bloss],
-                rtol=5e-3, atol=5e-3,
-            )
+            got = unpack(ft_rows[i, epoch])
+            np.testing.assert_allclose(got[:2], [acc, asr], atol=flip)
+            np.testing.assert_allclose(got[2:], [closs, bloss], rtol=5e-3, atol=5e-3)
 
 
 def test_ft_reg_mitigation(attacked):
