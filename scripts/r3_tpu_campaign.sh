@@ -21,6 +21,11 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   fi
 }
 
+# -1. never contend with a running test suite (1-core host, CLAUDE.md)
+while [ -f /tmp/pytest.pid ] && kill -0 "$(cat /tmp/pytest.pid)" 2>/dev/null; do
+  echo "[$(stamp)] waiting for pytest ($(cat /tmp/pytest.pid)) to finish"; sleep 60
+done
+
 # 0. tunnel sanity
 timeout 120 python -c "import jax; print(jax.devices())" || { echo "tunnel down"; exit 1; }
 
