@@ -46,7 +46,12 @@ run_stage fp_warm 1200 python -m audiobd_tpu fp --result badnets_tsbd_r3
 # 3. bench (BENCH_r03 preview)
 run_stage bench 3600 python bench.py
 
-# 4. VERDICT item 3: FlowMur fused-vs-unfused seed study (longest; resumable
+# 4. VERDICT item 5: per-op epoch attribution (extend Pallas backward to
+#    blocks 2-3, or record the measured bound)
+run_stage profile_bf16 1800 python scripts/profile_smallcnn.py bfloat16
+run_stage profile_bf16_unfused 1800 env PROF_FUSED=off python scripts/profile_smallcnn.py bfloat16
+
+# 5. VERDICT item 3: FlowMur fused-vs-unfused seed study (longest; resumable
 #    via /tmp/flowmur_seed_study.jsonl)
 run_stage flowmur_study 21600 python scripts/flowmur_seed_study.py
 
