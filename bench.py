@@ -44,6 +44,52 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _wait_for_backend() -> bool:
+    """Bounded wait for the (tunneled) default backend before importing jax.
+
+    A wedged axon tunnel HANGS `import jax` in-process (sitecustomize dials
+    the remote chip during plugin registration — CLAUDE.md), so the probe
+    must run in a killable subprocess. Retrying a few times lets a transient
+    outage degrade to a late capture instead of rc 1 (VERDICT r3 item 1).
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_BACKEND_RETRIES", 3))
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                timeout=120, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"backend probe ok: {r.stdout.strip()}")
+                return True
+            log(f"backend probe rc={r.returncode}: {r.stderr.strip()[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe timed out (attempt {i + 1}/{attempts})")
+        if i + 1 < attempts:
+            time.sleep(int(os.environ.get("BENCH_BACKEND_RETRY_SECS", 60)))
+    return False
+
+
+def _rearm_watcher() -> None:
+    """Re-arm the TPU campaign watcher on any bench entry (VERDICT r3 item 1:
+    the watcher must not be one mortal loop). Pidfile-guarded + no-op once
+    the campaign is complete; never fatal to the bench itself."""
+    if os.environ.get("AUDIOBD_NO_WATCHER"):
+        return
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "ensure_watcher.sh")
+    if not os.path.exists(script):
+        return
+    try:
+        subprocess.run(["bash", script], timeout=30, capture_output=True)
+    except Exception as e:
+        log(f"watcher re-arm skipped: {e}")
+
+
 def _make_data(rng):
     from audiobd_tpu.train.loop import ArraySet
 
@@ -209,10 +255,12 @@ def bench_mfcc() -> dict:
 def bench_end_to_end() -> dict:
     """North-star: waveforms → MFCC → BadNets patch → one training epoch.
 
-    Uses the production prep path (poison.badnets.poison_waveforms_device):
-    ONE compiled program for MFCC+patch over the whole dataset (lax.map over
-    chunk blocks inside the jit), output device-resident straight into
-    DeviceDataset. The 1.31 GB waveform ingest is dispatched asynchronously
+    Uses poison.badnets.poison_waveforms_device — the same
+    poison/device_prep.py program family the shipped pipeline executes
+    (data/speech_commands.py first-run ingest + badnets.poison's
+    device-resident patch): ONE compiled program for dequantize+MFCC+patch
+    over the whole dataset (lax.map over chunk blocks inside the jit),
+    output device-resident straight into DeviceDataset. The 1.31 GB waveform ingest is dispatched asynchronously
     and OVERLAPPED with compiling the exact full-shape prep program on
     device zeros, so its cost is (mostly) hidden behind the compile the run
     pays anyway; both the total and the residual-after-compile are reported.
@@ -348,6 +396,11 @@ def bench_torch_reference() -> float:
 
 
 def main():
+    if not _wait_for_backend():
+        log("backend never came up — aborting (see probe log above)")
+        _rearm_watcher()  # the watcher captures the campaign when it returns
+        sys.exit(1)
+
     import jax
 
     from audiobd_tpu.utils.compile_cache import enable_compilation_cache
@@ -407,6 +460,7 @@ def main():
             }
         )
     )
+    _rearm_watcher()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,101 @@
+#!/bin/bash
+# Round-4 TPU validation campaign (VERDICT r3 items 1/4/5/6 + bench + the
+# FlowMur seed study carried over from r3, item 2).
+# Sequential on purpose: 1-core host + single tunnel chip (CLAUDE.md).
+# Each stage is resumable — rerun the script and finished stages are skipped
+# via their sentinel files in $LOGDIR.
+#
+# Loud failures (VERDICT r3 item 8): every stage appends a PASS/FAIL row to
+# the COMMITTED report $REPORT, so a failure can never masquerade as
+# "not yet run" in /tmp.
+set -u
+cd /root/repo
+LOGDIR=${LOGDIR:-/tmp/r4_campaign}
+REPORT=${REPORT:-/root/repo/CAMPAIGN_r4.md}
+mkdir -p "$LOGDIR"
+echo $$ > "$LOGDIR/campaign.pid"
+stamp() { date "+%Y-%m-%d %H:%M:%S"; }
+
+if [ ! -f "$REPORT" ]; then
+  {
+    echo "# Round-4 TPU campaign report"
+    echo
+    echo "Auto-appended by scripts/r4_tpu_campaign.sh (one row per stage run;"
+    echo "resumable — OK stages are skipped on re-entry). Logs: \$LOGDIR/<stage>.log."
+    echo
+    echo "| time | stage | status | duration | note |"
+    echo "|---|---|---|---|---|"
+  } > "$REPORT"
+fi
+
+report_row() {  # report_row <stage> <status> <secs> <note>
+  echo "| $(stamp) | $1 | $2 | ${3}s | $4 |" >> "$REPORT"
+}
+
+run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -f "$LOGDIR/$name.ok" ]; then echo "[$(stamp)] $name: already done"; return 0; fi
+  echo "[$(stamp)] $name: starting"
+  local t0=$SECONDS
+  if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
+    touch "$LOGDIR/$name.ok"
+    echo "[$(stamp)] $name: OK"
+    report_row "$name" OK $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
+  else
+    local rc=$?
+    echo "[$(stamp)] $name: FAILED (rc=$rc) — see $LOGDIR/$name.log"
+    report_row "$name" "FAILED rc=$rc" $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
+  fi
+}
+
+# -1. never contend with a running test suite (1-core host, CLAUDE.md)
+while [ -f /tmp/pytest.pid ] && kill -0 "$(cat /tmp/pytest.pid)" 2>/dev/null; do
+  echo "[$(stamp)] waiting for pytest ($(cat /tmp/pytest.pid)) to finish"; sleep 60
+done
+
+# 0. tunnel sanity
+timeout 120 python -c "import jax; print(jax.devices())" || { echo "tunnel down"; exit 1; }
+
+# 1. highest-value first: the driver-protocol bench (all 8 workload rows +
+#    e2e; BENCH_r04 preview). If the tunnel dies again mid-campaign this is
+#    the capture that matters most (VERDICT r3 item 1).
+run_stage bench 5400 env AUDIOBD_NO_WATCHER=1 python bench.py
+
+# 2. VERDICT item 4: the two never-TPU-validated models, one attack each
+#    (reference --model surface, utils/models.py:180-257).
+run_stage jb_lstmatt 2400 python -m audiobd_tpu jingleback --synthetic --style 1 \
+  --model lstmwithattention --result jingleback_lstmatt_r4
+run_stage ultra_rnn 2400 python -m audiobd_tpu ultrasonic --synthetic \
+  --model rnn --result ultrasonic_rnn_r4
+
+# 3. VERDICT item 5: TSBD full-path wall with the vectorized stage D,
+#    cold then warm compile cache (target < 5 min warm). fp_warm covers the
+#    mask-based pruning path.
+run_stage tsbd_attack 1800 python -m audiobd_tpu badnets --synthetic --result badnets_tsbd_r4
+run_stage tsbd_cold 3600 python -m audiobd_tpu tsbd --result badnets_tsbd_r4 --only_finetune false
+run_stage tsbd_warm 3600 python -m audiobd_tpu tsbd --result badnets_tsbd_r4 --only_finetune false
+run_stage fp_warm 1200 python -m audiobd_tpu fp --result badnets_tsbd_r4
+
+# 4. VERDICT item 6: per-op epoch attribution (extend Pallas backward to
+#    blocks 2-3, or record the measured bound)
+run_stage profile_bf16 1800 python scripts/profile_smallcnn.py bfloat16
+run_stage profile_bf16_unfused 1800 env PROF_FUSED=off python scripts/profile_smallcnn.py bfloat16
+
+# 5. VERDICT item 2 (carried from r3): FlowMur fused-vs-unfused seed study
+#    (longest; resumable via /tmp/flowmur_seed_study.jsonl)
+run_stage flowmur_study 21600 python scripts/flowmur_seed_study.py
+
+missing=0
+for s in bench jb_lstmatt ultra_rnn tsbd_attack tsbd_cold tsbd_warm fp_warm \
+         profile_bf16 profile_bf16_unfused flowmur_study; do
+  [ -f "$LOGDIR/$s.ok" ] || missing=$((missing + 1))
+done
+if [ "$missing" -eq 0 ]; then
+  touch "$LOGDIR/campaign.done"
+  report_row campaign COMPLETE 0 "all stages OK"
+  echo "[$(stamp)] campaign complete"
+else
+  echo "[$(stamp)] campaign finished with $missing stage(s) not OK"
+fi
+rm -f "$LOGDIR/campaign.pid"
+exit "$missing"
