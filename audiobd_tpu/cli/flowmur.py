@@ -35,7 +35,7 @@ def parse_arguments():
     parser.add_argument(
         "--flowmur_update", type=str, default=None, choices=["per_batch", "accumulated"],
         help="trigger-opt update rule: per-batch Adam steps or the reference's "
-             "accumulated single step per epoch",
+             "reference's per-batch steps on the prefix-summed epoch gradient",
     )
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_per_class", type=int, default=50)

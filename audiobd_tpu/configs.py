@@ -149,9 +149,11 @@ class AttackConfig:
     flowmur_opt_epochs: int = 300
     flowmur_opt_lr: float = 1e-3
     flowmur_clamp: float = 0.2
-    # "per_batch" (default): Adam step + clamp per batch. "accumulated":
-    # reference-faithful — losses summed across the epoch, ONE Adam step +
-    # clamp per epoch (utils/flowmur_generate_trigger.py:101-103).
+    # "per_batch" (default): Adam step + clamp per batch on that batch's own
+    # gradient. "accumulated": reference-faithful — an Adam step + clamp per
+    # batch on the PREFIX SUM of the epoch's gradients so far (the running
+    # loss + backward(retain_graph) + step inside the batch loop,
+    # utils/flowmur_generate_trigger.py:100-105).
     flowmur_update: str = "per_batch"
     surrogate_runs: int = 3
     surrogate_epochs: int = 1000

@@ -56,7 +56,14 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
-            assert lib.wavdec_version() == 1
+            assert lib.wavdec_version() >= 2
+            lib.wavdec_batch_i16.restype = ctypes.c_int
+            lib.wavdec_batch_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
             _lib = lib
         except Exception as e:
             print(f"[audiobd_tpu.native] load failed: {e}")
@@ -103,3 +110,39 @@ def decode_batch(
         lengths[i] = wav.shape[1]
         rates[i] = sr
     return out, lengths, rates
+
+
+def decode_batch_pcm16(
+    paths: list[str], max_len: int, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Raw int16 PCM batch decode → (pcm (N, max_len) int16 zero-padded,
+    lengths (N,), sample_rates (N,), ok (N,) bool).
+
+    ``ok[i]`` is False for files the int16 path cannot serve (non-PCM16
+    formats — per-file status 7 — or no native library at all); callers
+    fall back to :func:`decode_batch` / the Python reader for those rows.
+    Raw PCM halves the host→accelerator link bytes vs f32; the device prep
+    programs dequantize exactly (poison/device_prep.py::dequantize_pcm).
+    """
+    n = len(paths)
+    lib = get_lib()
+    if lib is None:
+        return (np.zeros((n, max_len), np.int16), np.zeros(n, np.int32),
+                np.zeros(n, np.int32), np.zeros(n, bool))
+    out = np.zeros((n, max_len), np.int16)
+    lengths = np.zeros(n, np.int32)
+    rates = np.zeros(n, np.int32)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.wavdec_batch_i16(
+        arr, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), max_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    hard = np.flatnonzero((status != 0) & (status != 7))
+    if hard.size:
+        raise IOError(f"{hard.size} wav files failed to decode, first: {paths[hard[0]]}")
+    return out, lengths, rates, status == 0

@@ -16,6 +16,7 @@ cold-path hot loop (SURVEY.md §3.1).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -45,6 +46,11 @@ class CleanData:
     test_mfcc: np.ndarray
     train_label: np.ndarray
     test_label: np.ndarray
+    # Device-resident copies of the MFCCs, populated when the prep just
+    # computed them on device (prepare_clean_dataset) — poisoning adopts
+    # them zero-copy instead of re-uploading the host arrays.
+    train_mfcc_dev: jax.Array | None = None
+    test_mfcc_dev: jax.Array | None = None
 
 
 def mfcc_params(cfg: AttackConfig) -> MFCCParams:
@@ -70,12 +76,14 @@ def batched_mfcc_device(
     (DeviceDataset adopts it without a host round trip) or to np.asarray
     once for the npy cache contract.
     """
+    from audiobd_tpu.poison.device_prep import dequantize_pcm, host_wav_cast
+
     if use_pallas and jax.default_backend() not in ("cpu",):
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
 
-        fn = jax.jit(lambda w: fused_mfcc_features(jnp.squeeze(w, -2), params))
+        fn = jax.jit(lambda w: fused_mfcc_features(jnp.squeeze(dequantize_pcm(w), -2), params))
     else:
-        fn = jax.jit(lambda w: mfcc_features(w, params))
+        fn = jax.jit(lambda w: mfcc_features(dequantize_pcm(w), params))
     outs = []
     n = len(wavs)
     is_host = not isinstance(wavs, jax.Array)
@@ -92,7 +100,12 @@ def batched_mfcc_device(
                 # device-resident input: pad on device — np.asarray here would
                 # pull the chunk over the host link and push it back.
                 block = jnp.concatenate([block, jnp.repeat(block[:1], pad, axis=0)])
-        x = jnp.asarray(np.asarray(block, np.float32)) if is_host else block.astype(jnp.float32)
+        # integer PCM ships as-is over the host link (half the bytes) and is
+        # dequantized on device inside fn; everything else goes up as f32.
+        if is_host:
+            x = jnp.asarray(host_wav_cast(block))
+        else:
+            x = block if jnp.issubdtype(block.dtype, jnp.integer) else block.astype(jnp.float32)
         out = fn(x)
         outs.append(out[: out.shape[0] - pad] if pad else out)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -119,9 +132,17 @@ def prepare_clean_dataset(
     waveform_to_consider = sr  # exactly 1 s at the attack's rate
     params = mfcc_params(cfg)
 
-    from audiobd_tpu.data.native import decode_batch
+    from audiobd_tpu.data.native import decode_batch, decode_batch_pcm16
 
-    wavs, labels = [], []
+    # int16 PCM ingest (the dataset is PCM16 throughout): the native decoder
+    # hands back RAW samples which ship to the device at HALF the f32 bytes
+    # and are dequantized inside the MFCC program (exactly — 2⁻¹⁵ is a power
+    # of two, so the values match the f32 decode bit-for-bit). Non-PCM16
+    # files (IEEE-float wavs, odd widths, or no native toolchain) fall back
+    # to the f32 batch decoder; off-rate files take the resample path.
+    rows_i16, idx_i16 = [], []   # raw PCM rows + their positions
+    rows_f32, idx_f32 = [], []   # fallback/resampled f32 rows + positions
+    labels = []
     for label_idx, label in enumerate(cfg.labels):
         label_path = os.path.join(data_path, label)
         if not os.path.isdir(label_path):
@@ -131,34 +152,89 @@ def prepare_clean_dataset(
             for name in sorted(os.listdir(label_path))
             if name.endswith(".wav")
         ]
-        # Native thread-pooled batch decode (chunked to bound memory);
-        # files whose rate differs from the pipeline take the resample path.
+        # Native thread-pooled batch decode (chunked to bound memory).
         for start in range(0, len(paths), 2048):
             chunk = paths[start : start + 2048]
-            decoded, lengths, rates = decode_batch(chunk, waveform_to_consider)
+            pcm, lengths, rates, ok = decode_batch_pcm16(chunk, waveform_to_consider)
+            bad = np.flatnonzero(~ok)
+            if bad.size:
+                f32_dec, f32_len, f32_rates = decode_batch(
+                    [chunk[i] for i in bad], waveform_to_consider
+                )
+                bad_map = {int(i): j for j, i in enumerate(bad)}
             for row in range(len(chunk)):
-                if int(rates[row]) == sr:
-                    if int(lengths[row]) >= waveform_to_consider:
-                        wavs.append(decoded[row : row + 1, :waveform_to_consider])
+                if ok[row]:
+                    rate_r, len_r = int(rates[row]), int(lengths[row])
+                else:
+                    j = bad_map[row]
+                    rate_r, len_r = int(f32_rates[j]), int(f32_len[j])
+                if rate_r == sr:
+                    if len_r >= waveform_to_consider:
+                        if ok[row]:
+                            rows_i16.append(pcm[row, :waveform_to_consider])
+                            idx_i16.append(len(labels))
+                        else:
+                            rows_f32.append(f32_dec[j, :waveform_to_consider])
+                            idx_f32.append(len(labels))
                         labels.append(label_idx)
                 else:
                     wav, file_sr = read_wav(chunk[row])
                     wav = np.asarray(resample(jnp.asarray(wav), file_sr, sr))
                     if wav.shape[1] >= waveform_to_consider:
-                        wavs.append(wav[:1, :waveform_to_consider].astype(np.float32))
+                        rows_f32.append(wav[0, :waveform_to_consider].astype(np.float32))
+                        idx_f32.append(len(labels))
                         labels.append(label_idx)
 
-    all_wav = np.stack(wavs).astype(np.float32)      # (N, 1, T)
+    # Host f32 waveform tensor: the clean npy contract and the wav-domain
+    # attacks keep the reference's float semantics (prepare_dataset.py:49-84).
+    n_total = len(labels)
+    all_wav = np.empty((n_total, 1, waveform_to_consider), np.float32)
+    if rows_i16:
+        all_wav[idx_i16, 0] = np.stack(rows_i16).astype(np.float32) * (1.0 / 32768.0)
+    if rows_f32:
+        all_wav[idx_f32, 0] = np.stack(rows_f32)
     all_label = np.asarray(labels, dtype=np.int64)
-    all_mfcc = batched_mfcc(all_wav, params, use_pallas=cfg.dsp.use_pallas)
 
-    train_wav, test_wav, train_mfcc, test_mfcc, train_label, test_label = train_test_split(
-        all_wav, all_mfcc, all_label, test_size=0.2, random_state=35
+    # Device-resident prep (VERDICT r3 item 3): one host→device upload, MFCC
+    # as chunked fused programs on device, seed-35 split as an index gather
+    # ON DEVICE. Training adopts the device arrays with no re-upload; the
+    # six-npy cache is written from them once below. train_test_split on
+    # arange(n) yields the identical permutation as splitting the arrays
+    # directly (it only shuffles indices) — asserted in tests/test_data.py.
+    t0 = time.perf_counter()
+    use_pallas = cfg.dsp.use_pallas
+    if rows_i16 and not rows_f32:
+        # pure-PCM dataset: ship raw int16 (half the link bytes)
+        all_mfcc_dev = batched_mfcc_device(np.stack(rows_i16), params, use_pallas=use_pallas)
+    elif rows_i16:
+        # mixed: each pool ships in its own dtype; restore clip order with
+        # one device gather
+        feats16 = batched_mfcc_device(np.stack(rows_i16), params, use_pallas=use_pallas)
+        feats32 = batched_mfcc_device(np.stack(rows_f32), params, use_pallas=use_pallas)
+        order = np.empty(n_total, np.int32)
+        order[idx_i16] = np.arange(len(idx_i16), dtype=np.int32)
+        order[idx_f32] = len(idx_i16) + np.arange(len(idx_f32), dtype=np.int32)
+        all_mfcc_dev = jnp.take(
+            jnp.concatenate([feats16, feats32], axis=0), jnp.asarray(order), axis=0
+        )
+    else:
+        all_mfcc_dev = batched_mfcc_device(all_wav, params, use_pallas=use_pallas)
+    idx_train, idx_test = train_test_split(
+        np.arange(n_total), test_size=0.2, random_state=35
     )
+    train_mfcc_dev = jnp.take(all_mfcc_dev, jnp.asarray(idx_train), axis=0)
+    test_mfcc_dev = jnp.take(all_mfcc_dev, jnp.asarray(idx_test), axis=0)
+    jax.device_get(test_mfcc_dev[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
+    dt = time.perf_counter() - t0
+    print(f"clean prep (device MFCC, {len(rows_i16)} clips as int16 PCM / "
+          f"{len(rows_f32)} as f32): {n_total} clips in {dt:.3f} s "
+          f"({n_total / max(dt, 1e-9):.0f} clips/s)")
+
     data = CleanData(
-        np.asarray(train_wav), np.asarray(test_wav),
-        np.asarray(train_mfcc), np.asarray(test_mfcc),
-        np.asarray(train_label), np.asarray(test_label),
+        all_wav[idx_train], all_wav[idx_test],
+        np.asarray(train_mfcc_dev), np.asarray(test_mfcc_dev),
+        all_label[idx_train], all_label[idx_test],
+        train_mfcc_dev=train_mfcc_dev, test_mfcc_dev=test_mfcc_dev,
     )
     if save:
         save_clean_data(cfg, data)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -23,6 +24,7 @@ import numpy as np
 
 from audiobd_tpu.configs import AttackConfig
 from audiobd_tpu.data.speech_commands import CleanData
+from audiobd_tpu.poison import device_prep
 from audiobd_tpu.train.loop import ArraySet
 from audiobd_tpu.utils import random as rnd
 
@@ -55,25 +57,10 @@ def apply_trigger(mfcc: jax.Array, trigger: jax.Array) -> jax.Array:
     return jnp.where(trigger != 0, trigger, mfcc)
 
 
-def _poison_features(w, ind, trigger, params, use_pallas):
-    if jnp.issubdtype(w.dtype, jnp.integer):
-        # int16 PCM ingest path: wav data is natively int16, so callers can
-        # ship PCM over the (bandwidth-bound) host link at half the bytes
-        # and dequantize here — exact in f32 (matches data/wavio.py:24).
-        # The 2^-15 full-scale is int16-specific; reject other widths loudly
-        # rather than silently mis-scaling 24/32-bit PCM.
-        assert w.dtype == jnp.int16, f"integer wavs must be int16 PCM, got {w.dtype}"
-        w = w.astype(jnp.float32) * (1.0 / 32768.0)
-    if use_pallas:
-        from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
-
-        feats = fused_mfcc_features(w, params)
-    else:
-        from audiobd_tpu.dsp import mfcc_features
-
-        feats = mfcc_features(w, params)
-    patched = apply_trigger(feats, trigger)
-    return jnp.where(ind[:, None, None, None] == 1, patched, feats)
+def _block(w, ind, trigger, params, use_pallas):
+    return device_prep.make_block_fn(
+        params, feat_fn=lambda f: apply_trigger(f, trigger), use_pallas=use_pallas
+    )(w, ind)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "chunk", "use_pallas"))
@@ -87,25 +74,14 @@ def _poison_chunked(w, ind, trigger, params, chunk, use_pallas):
     ``chunk`` only bounds the live STFT intermediates (chunk × frames ×
     n_fft); 2048 and 4096 measure identically.
     """
-    k = w.shape[0] // chunk
-    wr = w.reshape(k, chunk, w.shape[-1])
-    ir = ind.reshape(k, chunk)
-    out = jax.lax.map(
-        lambda args: _poison_features(args[0], args[1], trigger, params, use_pallas), (wr, ir)
+    return device_prep.map_blocks(
+        lambda wb, ib: _block(wb, ib, trigger, params, use_pallas), w, ind, chunk
     )
-    return out.reshape(k * chunk, *out.shape[2:])
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def _poison_flat(w, ind, trigger, params, use_pallas):
-    return _poison_features(w, ind, trigger, params, use_pallas)
-
-
-def _host_wav_cast(wavs) -> np.ndarray:
-    """Host wavs → transfer dtype: integer PCM ships as-is (half the bytes
-    over the host link; dequantized on device), everything else as f32."""
-    arr = np.asarray(wavs)
-    return arr if np.issubdtype(arr.dtype, np.integer) else arr.astype(np.float32, copy=False)
+    return _block(w, ind, trigger, params, use_pallas)
 
 
 def poison_waveforms_device(
@@ -115,50 +91,30 @@ def poison_waveforms_device(
 
     The reference's hot path recomputes MFCC per clip on the host and then
     patches in a second pass (badnets.py:38-108, prepare_dataset.py:49-84);
-    here MFCC + patch + indicator-select run as ONE compiled program
-    (lax.map over chunk-sized blocks — see _poison_chunked for why the loop
-    must not be host-driven), and the poisoned features never leave the
-    device — train/scan_epoch.DeviceDataset adopts the returned array with
-    no host round trip. Inputs are wrap-padded to a chunk multiple so
-    compiled shapes are quantized (pad rows carry indicator 0 and are
-    sliced off lazily).
+    here dequantize + MFCC + patch + indicator-select run as ONE compiled
+    program (lax.map over chunk-sized blocks — see _poison_chunked for why
+    the loop must not be host-driven), and the poisoned features never
+    leave the device — train/scan_epoch.DeviceDataset adopts the returned
+    array with no host round trip. Inputs are wrap-padded to quantized
+    bucket sizes (device_prep.padded_size) so repeated calls at any N reuse
+    compiled programs; pad rows carry indicator 0 and are sliced off.
 
-    wavs: (N, T) or (N, 1, T), host or device. indicators: (N,) ints
-    (1 = poison). trigger: (1, frames, n_mfcc). Returns (N, 1, F, M) f32.
+    This is the same program family data/speech_commands.py's first-run
+    ingest and the e2e bench execute (poison/device_prep.py is the single
+    implementation).
+
+    wavs: (N, T) or (N, 1, T), host or device, f32 or int16 PCM.
+    indicators: (N,) ints (1 = poison). trigger: (1, frames, n_mfcc).
+    Returns (N, 1, F, M) f32.
     """
     trigger = jnp.asarray(trigger)
-    n = len(wavs)
-    is_host = not isinstance(wavs, jax.Array)
     if use_pallas and jax.default_backend() == "cpu":
         use_pallas = False
-
-    if n <= chunk:
-        w = wavs if not is_host else jnp.asarray(_host_wav_cast(wavs))
-        if w.ndim >= 3 and w.shape[-2] == 1:
-            w = jnp.squeeze(w, -2)
-        return _poison_flat(w, jnp.asarray(indicators, jnp.int32), trigger, params, use_pallas)
-
-    pad = (-n) % chunk
-    if is_host:
-        w = _host_wav_cast(wavs)
-        if w.ndim >= 3 and w.shape[-2] == 1:
-            w = np.squeeze(w, -2)
-        ind = np.asarray(indicators, np.int32)
-        if pad:
-            w = np.concatenate([w, w[:pad]])
-            ind = np.concatenate([ind, np.zeros(pad, np.int32)])
-        w = jnp.asarray(w)
-        ind = jnp.asarray(ind)
-    else:
-        w = wavs
-        if w.ndim >= 3 and w.shape[-2] == 1:
-            w = jnp.squeeze(w, -2)
-        ind = jnp.asarray(indicators, jnp.int32)
-        if pad:
-            w = jnp.concatenate([w, w[:pad]])
-            ind = jnp.concatenate([ind, jnp.zeros(pad, jnp.int32)])
-    out = _poison_chunked(w, ind, trigger, params, chunk, use_pallas)
-    return out[:n] if pad else out
+    return device_prep.run_prep(
+        lambda w, i: _poison_flat(w, i, trigger, params, use_pallas),
+        lambda w, i: _poison_chunked(w, i, trigger, params, chunk, use_pallas),
+        wavs, indicators, chunk,
+    )
 
 
 @dataclass
@@ -168,7 +124,21 @@ class PoisonedData:
     clean_test: ArraySet
 
 
+@jax.jit
+def _patch_indicated(feats: jax.Array, ind: jax.Array, trigger: jax.Array) -> jax.Array:
+    """Patch indicator==1 rows; one program over the whole split."""
+    return jnp.where(ind[:, None, None, None] == 1, apply_trigger(feats, trigger), feats)
+
+
 def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> PoisonedData:
+    """Build the poisoned splits DEVICE-RESIDENT (the production prep path).
+
+    Clean features go to the device once (zero-copy when prepare_clean_dataset
+    just computed them there — CleanData.train_mfcc_dev) and are patched in
+    one compiled program per split; train/scan_epoch.DeviceDataset then
+    adopts the arrays with no host round trip. The record/ npy contract
+    (reference badnets.py:78-95) is written from the device arrays once.
+    """
     frames, n_mfcc = clean.train_mfcc.shape[-2], clean.train_mfcc.shape[-1]
     trig = generate_trigger(
         n_mfcc, frames, cfg.trigger_size,
@@ -180,26 +150,33 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> PoisonedDa
     rng = rnd.np_rng(cfg.train.seed, "badnets_poison")
     poison_idx = rng.choice(n_train, size=int(n_train * cfg.poisoning_rate), replace=False)
 
-    bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[poison_idx] = np.asarray(apply_trigger(jnp.asarray(clean.train_mfcc[poison_idx]), trig_j))
-    bd_train_label = clean.train_label.copy()
-    bd_train_label[poison_idx] = cfg.target_label
     ind_train = np.zeros(n_train, dtype=np.int64)
     ind_train[poison_idx] = 1
+    bd_train_label = clean.train_label.copy()
+    bd_train_label[poison_idx] = cfg.target_label
 
     # Test: patch every non-target row; all labels flipped to the target
     # (reference badnets.py:66-77).
     nontarget = clean.test_label != cfg.target_label
-    bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget] = np.asarray(apply_trigger(jnp.asarray(clean.test_mfcc[nontarget]), trig_j))
-    bd_test_label = np.full(len(clean.test_label), cfg.target_label, dtype=np.int64)
     ind_test = nontarget.astype(np.int64)
+    bd_test_label = np.full(len(clean.test_label), cfg.target_label, dtype=np.int64)
+
+    t0 = time.perf_counter()
+    feats_train = clean.train_mfcc_dev if clean.train_mfcc_dev is not None else jnp.asarray(clean.train_mfcc)
+    feats_test = clean.test_mfcc_dev if clean.test_mfcc_dev is not None else jnp.asarray(clean.test_mfcc)
+    bd_train_mfcc = _patch_indicated(feats_train, jnp.asarray(ind_train, jnp.int32), trig_j)
+    bd_test_mfcc = _patch_indicated(feats_test, jnp.asarray(ind_test, jnp.int32), trig_j)
+    jax.device_get(bd_test_mfcc[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
+    n_prep = n_train + len(clean.test_label)
+    dt = time.perf_counter() - t0
+    print(f"badnets prep (device-resident patch): {n_prep} clips in {dt:.3f} s "
+          f"({n_prep / max(dt, 1e-9):.0f} clips/s)")
 
     if save:
         save_bd_arrays(
             cfg,
-            bd_train_mfcc=bd_train_mfcc,
-            bd_test_mfcc=bd_test_mfcc,
+            bd_train_mfcc=np.asarray(bd_train_mfcc),
+            bd_test_mfcc=np.asarray(bd_test_mfcc),
             bd_train_label=bd_train_label,
             bd_test_label=bd_test_label,
             poison_index_train=ind_train,

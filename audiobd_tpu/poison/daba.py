@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiobd_tpu.configs import AttackConfig, linear_features_for
-from audiobd_tpu.data.speech_commands import CleanData, batched_mfcc, mfcc_params
+from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.data.wavio import write_wav
 from audiobd_tpu.models import build_model
 from audiobd_tpu.poison.badnets import save_bd_arrays
@@ -276,26 +276,47 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
         else np.full(poison_num, cfg.po_db, np.float32)
     )
 
+    # Device-resident subset poisoning: the overlay output stays on device
+    # through the MFCC stage (one host fetch each for the wav/mfcc npy
+    # contracts) and merges into the device-resident clean features with one
+    # compiled scatter (poison/device_prep.py).
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device
+    from audiobd_tpu.poison import device_prep
+
     bd_train_wav = clean.train_wav.copy()
-    mixed = np.asarray(
-        overlay_db(jnp.asarray(bd_train_wav[chosen][:, 0, :]), jnp.asarray(trigger), jnp.asarray(gains))
+    mixed_dev = overlay_db(
+        jnp.asarray(bd_train_wav[chosen][:, 0, :]), jnp.asarray(trigger), jnp.asarray(gains)
     )
-    bd_train_wav[chosen] = mixed[:, None, :]
+    bd_train_wav[chosen] = np.asarray(mixed_dev)[:, None, :]
     bd_train_label = clean.train_label.copy()
     bd_train_label[chosen] = target
     ind_train = np.zeros(n_train, dtype=np.int64)
     ind_train[chosen] = 1
     bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[chosen] = batched_mfcc(bd_train_wav[chosen], params, use_pallas=cfg.dsp.use_pallas)
+    feats_train_dev = (
+        clean.train_mfcc_dev if clean.train_mfcc_dev is not None
+        else jnp.asarray(clean.train_mfcc)
+    )
+    sub_feats = batched_mfcc_device(mixed_dev, params, use_pallas=cfg.dsp.use_pallas)
+    bd_train_mfcc_dev = device_prep.scatter_rows(feats_train_dev, sub_feats, jnp.asarray(chosen))
+    bd_train_mfcc[chosen] = np.asarray(sub_feats)
 
     nontarget_test = clean.test_label != target
     bd_test_wav = clean.test_wav.copy()
-    mixed_t = np.asarray(
-        overlay_db(jnp.asarray(bd_test_wav[nontarget_test][:, 0, :]), jnp.asarray(trigger), cfg.po_db)
+    mixed_t_dev = overlay_db(
+        jnp.asarray(bd_test_wav[nontarget_test][:, 0, :]), jnp.asarray(trigger), cfg.po_db
     )
-    bd_test_wav[nontarget_test] = mixed_t[:, None, :]
+    bd_test_wav[nontarget_test] = np.asarray(mixed_t_dev)[:, None, :]
     bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget_test] = batched_mfcc(bd_test_wav[nontarget_test], params, use_pallas=cfg.dsp.use_pallas)
+    feats_test_dev = (
+        clean.test_mfcc_dev if clean.test_mfcc_dev is not None
+        else jnp.asarray(clean.test_mfcc)
+    )
+    sub_feats_t = batched_mfcc_device(mixed_t_dev, params, use_pallas=cfg.dsp.use_pallas)
+    bd_test_mfcc_dev = device_prep.scatter_rows(
+        feats_test_dev, sub_feats_t, jnp.asarray(np.flatnonzero(nontarget_test))
+    )
+    bd_test_mfcc[nontarget_test] = np.asarray(sub_feats_t)
     bd_test_label = np.full(len(clean.test_label), target, dtype=np.int64)
     ind_test = nontarget_test.astype(np.int64)
 
@@ -316,8 +337,8 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
         _export_wav_tree(cfg, clean, bd_train_wav, bd_test_wav, ind_train, nontarget_test)
 
     return DabaPoisoned(
-        bd_train=ArraySet(bd_train_mfcc, bd_train_label, ind_train),
-        bd_test=ArraySet(bd_test_mfcc, bd_test_label, ind_test),
+        bd_train=ArraySet(bd_train_mfcc_dev, bd_train_label, ind_train),
+        bd_test=ArraySet(bd_test_mfcc_dev, bd_test_label, ind_test),
         clean_test=ArraySet(clean.test_mfcc, clean.test_label),
         trigger=trigger,
         trigger_index=trig_idx,

@@ -8,9 +8,11 @@ Pipeline (reference utils/flowmur_generate_trigger.py + flowmur.py:42-127):
      SNR-scaled blend, clamped to ±0.2, driving the frozen surrogate toward
      the target class **through the MFCC front-end** (differentiable here by
      construction). Update rule selectable via cfg.flowmur_update:
-     "per_batch" (default, clean per-batch Adam steps) or "accumulated"
-     (reference-faithful: epoch-summed loss, one step per epoch — the
-     retain_graph accumulation at utils/flowmur_generate_trigger.py:101-103);
+     "per_batch" (default, clean per-batch Adam steps on each batch's own
+     gradient) or "accumulated" (reference-faithful: an Adam step per batch
+     on the PREFIX SUM of the epoch's gradients so far — the running-loss
+     retain_graph accumulation with optimizer.step() inside the batch loop,
+     utils/flowmur_generate_trigger.py:100-105);
   3. dataset poisoning — train: a fraction of *target-class* rows get the
      trigger at SNR ``snr_db`` (poison_indicator marks ALL target-class
      rows — quirk preserved, flowmur.py:88-89; SURVEY.md §6b.6); test:
@@ -33,7 +35,7 @@ import optax
 from sklearn.model_selection import train_test_split
 
 from audiobd_tpu.configs import AttackConfig
-from audiobd_tpu.data.speech_commands import CleanData, batched_mfcc, mfcc_params
+from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.dsp import mfcc_features
 from audiobd_tpu.models import build_model
 from audiobd_tpu.poison.badnets import save_bd_arrays
@@ -207,15 +209,17 @@ def optimize_trigger(
         return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
     # Update rule (cfg.flowmur_update):
-    #   "per_batch"   — one Adam step (+clamp) per batch (default; same
-    #                   objective, cleaner optimization path);
-    #   "accumulated" — the reference-faithful rule: the per-batch losses are
-    #                   summed across the WHOLE epoch and a single Adam step
-    #                   (+clamp) is taken per epoch (the reference's
-    #                   loss-accumulation with retain_graph=True then one
-    #                   optimizer.step(), utils/flowmur_generate_trigger.py:
-    #                   101-103). grad(Σ losses) = Σ per-batch grads, so the
-    #                   scan accumulates gradients and steps once after.
+    #   "per_batch"   — one Adam step (+clamp) per batch on that batch's own
+    #                   gradient (default; clean optimization path);
+    #   "accumulated" — the reference-faithful rule: the reference keeps a
+    #                   RUNNING loss sum (`loss = loss + criterion(...)`) and
+    #                   runs zero_grad/backward(retain_graph)/step/clamp
+    #                   INSIDE the batch loop (utils/flowmur_generate_trigger
+    #                   .py:100-105), so batch k's Adam step uses the PREFIX
+    #                   SUM of gradients g_1..g_k, each g_i evaluated at the
+    #                   trigger value batch i ran with. The scan carries
+    #                   (trigger, grad_sum, opt_state) and steps every batch
+    #                   on grad_sum; the sum resets each epoch (`loss = 0`).
     accumulated = getattr(cfg, "flowmur_update", "per_batch") == "accumulated"
 
     @jax.jit
@@ -233,18 +237,19 @@ def optimize_trigger(
             return (trigger, opt_state, key), loss
 
         def body_accumulate(carry, batch_wavs):
-            grad_sum, key = carry
+            trigger, grad_sum, opt_state, key = carry
             key, kpos = jax.random.split(key)
             positions = jax.random.randint(kpos, (bs,), 0, t - length + 1)
             loss, grads = jax.value_and_grad(batch_loss)(trigger, batch_wavs, positions)
-            return (grad_sum + grads, key), loss
+            grad_sum = grad_sum + grads
+            updates, opt_state = tx.update(grad_sum, opt_state, trigger)
+            trigger = jnp.clip(optax.apply_updates(trigger, updates), -clamp, clamp)
+            return (trigger, grad_sum, opt_state, key), loss
 
         if accumulated:
-            (grad_sum, _), losses = jax.lax.scan(
-                body_accumulate, (jnp.zeros_like(trigger), key), batched
+            (new_trigger, _, new_opt, _), losses = jax.lax.scan(
+                body_accumulate, (trigger, jnp.zeros_like(trigger), opt_state, key), batched
             )
-            updates, new_opt = tx.update(grad_sum, opt_state, trigger)
-            new_trigger = jnp.clip(optax.apply_updates(trigger, updates), -clamp, clamp)
             return new_trigger, new_opt, jnp.sum(losses)
         (new_trigger, new_opt, _), losses = jax.lax.scan(
             body_per_batch, (trigger, opt_state, key), batched
@@ -302,6 +307,9 @@ def _inject_half(wavs: np.ndarray, trigger: np.ndarray, positions: np.ndarray) -
 
 
 def poison(cfg: AttackConfig, clean: CleanData, trigger: np.ndarray, save: bool = True) -> FlowmurPoisoned:
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device
+    from audiobd_tpu.poison import device_prep
+
     params = mfcc_params(cfg)
     t = clean.train_wav.shape[-1]
     length = trigger.shape[-1]
@@ -311,18 +319,33 @@ def poison(cfg: AttackConfig, clean: CleanData, trigger: np.ndarray, save: bool 
     poison_num = int(len(target_rows) * cfg.poisoning_rate)
     chosen = rng.choice(target_rows, size=poison_num, replace=False)
 
+    # Device-resident: only the injected rows' MFCCs are recomputed (the
+    # reference re-extracts the whole train split, flowmur.py:87 — unchanged
+    # rows' features are identical to the clean ones by construction) and
+    # merged into the device-resident clean features with one scatter.
     bd_train_wav = clean.train_wav.copy()
+    bd_train_mfcc = clean.train_mfcc.copy()
+    bd_train_mfcc_dev = (
+        clean.train_mfcc_dev if clean.train_mfcc_dev is not None
+        else jnp.asarray(clean.train_mfcc)
+    )
     if poison_num:
         pos = rng.integers(0, t - length + 1, size=poison_num)
-        bd_train_wav[chosen] = _inject_snr(bd_train_wav[chosen], trigger, pos, cfg.snr_db)
-    bd_train_mfcc = batched_mfcc(bd_train_wav, params, use_pallas=cfg.dsp.use_pallas)
+        injected = _inject_snr(bd_train_wav[chosen], trigger, pos, cfg.snr_db)
+        bd_train_wav[chosen] = injected
+        sub_feats = batched_mfcc_device(injected, params, use_pallas=cfg.dsp.use_pallas)
+        bd_train_mfcc_dev = device_prep.scatter_rows(
+            bd_train_mfcc_dev, sub_feats, jnp.asarray(chosen)
+        )
+        bd_train_mfcc[chosen] = np.asarray(sub_feats)
     ind_train = (clean.train_label == cfg.target_label).astype(np.int64)  # quirk: all class-2 rows
 
     keep = clean.test_label != cfg.target_label
     bd_test_wav = clean.test_wav[keep].copy()
     pos = rng.integers(0, t - length + 1, size=len(bd_test_wav))
     bd_test_wav = _inject_half(bd_test_wav, trigger, pos)
-    bd_test_mfcc = batched_mfcc(bd_test_wav, params, use_pallas=cfg.dsp.use_pallas)
+    bd_test_mfcc_dev = batched_mfcc_device(bd_test_wav, params, use_pallas=cfg.dsp.use_pallas)
+    bd_test_mfcc = np.asarray(bd_test_mfcc_dev)
     bd_test_label = np.full(len(bd_test_wav), cfg.target_label, dtype=np.int64)
     ind_test = np.ones(len(bd_test_wav), dtype=np.int64)
 
@@ -339,8 +362,8 @@ def poison(cfg: AttackConfig, clean: CleanData, trigger: np.ndarray, save: bool 
             poison_index_test=ind_test,
         )
     return FlowmurPoisoned(
-        bd_train=ArraySet(bd_train_mfcc, clean.train_label, ind_train),
-        bd_test=ArraySet(bd_test_mfcc, bd_test_label, ind_test),
+        bd_train=ArraySet(bd_train_mfcc_dev, clean.train_label, ind_train),
+        bd_test=ArraySet(bd_test_mfcc_dev, bd_test_label, ind_test),
         clean_test=ArraySet(clean.test_mfcc, clean.test_label),
         trigger=trigger,
     )

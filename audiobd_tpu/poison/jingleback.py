@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiobd_tpu.configs import AttackConfig
-from audiobd_tpu.data.speech_commands import CleanData, batched_mfcc, mfcc_params
+from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.poison import effects as fx
 from audiobd_tpu.poison.badnets import save_bd_arrays
 from audiobd_tpu.train.loop import ArraySet
@@ -59,8 +59,16 @@ def get_boards(sample_rate: int = 16000):
     return [style0, style1, style2, style3, style4, style5]
 
 
-def poison_style(wavs: np.ndarray, style: int, sample_rate: int, chunk: int = 256) -> np.ndarray:
-    """Apply style ``style`` to (N, 1, T) waveforms, batched + jitted."""
+def poison_style_device(
+    wavs: np.ndarray, style: int, sample_rate: int, chunk: int = 256
+) -> jax.Array:
+    """Apply style ``style`` to (N, 1, T) waveforms → (N, T) DEVICE-resident.
+
+    Chunks are dispatched without intermediate host fetches (a per-chunk
+    np.asarray serializes the effect chain with tunnel transfers); the
+    result stays on device for the MFCC stage / one host fetch for the
+    wav npy contract.
+    """
     board = get_boards(sample_rate)[style]
     fn = jax.jit(board)
     outs = []
@@ -72,9 +80,14 @@ def poison_style(wavs: np.ndarray, style: int, sample_rate: int, chunk: int = 25
         if len(block) < chunk and n > chunk:
             pad = chunk - len(block)
             block = np.concatenate([block, block[:1].repeat(pad, axis=0)])
-        out = np.asarray(fn(jnp.asarray(block)))
-        outs.append(out[: len(out) - pad] if pad else out)
-    return np.concatenate(outs, axis=0)[:, None, :]
+        out = fn(jnp.asarray(block))
+        outs.append(out[: out.shape[0] - pad] if pad else out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def poison_style(wavs: np.ndarray, style: int, sample_rate: int, chunk: int = 256) -> np.ndarray:
+    """Host-output wrapper of poison_style_device."""
+    return np.asarray(poison_style_device(wavs, style, sample_rate, chunk))[:, None, :]
 
 
 @dataclass
@@ -84,6 +97,28 @@ class JingleBackPoisoned:
     clean_test: ArraySet
 
 
+def _poison_split(clean_wav, clean_mfcc, clean_mfcc_dev, idx, style, sr, params, use_pallas):
+    """Device-resident subset restyling for one split: styled waveforms stay
+    on device through the MFCC stage (one host fetch each for the wav/mfcc
+    npy contracts), and the styled rows are merged into the device-resident
+    clean features with one compiled scatter. Returns
+    (bd_wav_host, bd_mfcc_host, bd_mfcc_dev)."""
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device
+    from audiobd_tpu.poison import device_prep
+
+    bd_wav = clean_wav.copy()
+    bd_mfcc_host = clean_mfcc.copy()
+    feats_dev = clean_mfcc_dev if clean_mfcc_dev is not None else jnp.asarray(clean_mfcc)
+    if len(idx) == 0:
+        return bd_wav, bd_mfcc_host, feats_dev
+    styled_dev = poison_style_device(clean_wav[idx], style, sr)  # (k, T) device
+    sub_feats = batched_mfcc_device(styled_dev, params, use_pallas=use_pallas)
+    bd_mfcc_dev = device_prep.scatter_rows(feats_dev, sub_feats, jnp.asarray(idx))
+    bd_wav[idx] = np.asarray(styled_dev)[:, None, :]
+    bd_mfcc_host[idx] = np.asarray(sub_feats)
+    return bd_wav, bd_mfcc_host, bd_mfcc_dev
+
+
 def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> JingleBackPoisoned:
     params = mfcc_params(cfg)
     sr = cfg.dsp.sample_rate
@@ -91,20 +126,20 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> JingleBack
     rng = rnd.np_rng(cfg.train.seed, "jingleback_poison")
     poison_idx = rng.choice(n_train, size=int(n_train * cfg.poisoning_rate), replace=False)
 
-    bd_train_wav = clean.train_wav.copy()
-    bd_train_wav[poison_idx] = poison_style(clean.train_wav[poison_idx], cfg.style, sr)
-    bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[poison_idx] = batched_mfcc(bd_train_wav[poison_idx], params, use_pallas=cfg.dsp.use_pallas)
+    bd_train_wav, bd_train_mfcc, bd_train_mfcc_dev = _poison_split(
+        clean.train_wav, clean.train_mfcc, clean.train_mfcc_dev,
+        poison_idx, cfg.style, sr, params, cfg.dsp.use_pallas,
+    )
     bd_train_label = clean.train_label.copy()
     bd_train_label[poison_idx] = cfg.target_label
     ind_train = np.zeros(n_train, dtype=np.int64)
     ind_train[poison_idx] = 1
 
     nontarget = clean.test_label != cfg.target_label
-    bd_test_wav = clean.test_wav.copy()
-    bd_test_wav[nontarget] = poison_style(clean.test_wav[nontarget], cfg.style, sr)
-    bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget] = batched_mfcc(bd_test_wav[nontarget], params, use_pallas=cfg.dsp.use_pallas)
+    bd_test_wav, bd_test_mfcc, bd_test_mfcc_dev = _poison_split(
+        clean.test_wav, clean.test_mfcc, clean.test_mfcc_dev,
+        np.flatnonzero(nontarget), cfg.style, sr, params, cfg.dsp.use_pallas,
+    )
     bd_test_label = np.full(len(clean.test_label), cfg.target_label, dtype=np.int64)
     ind_test = nontarget.astype(np.int64)
 
@@ -121,7 +156,7 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> JingleBack
             poison_index_test=ind_test,
         )
     return JingleBackPoisoned(
-        bd_train=ArraySet(bd_train_mfcc, bd_train_label, ind_train),
-        bd_test=ArraySet(bd_test_mfcc, bd_test_label, ind_test),
+        bd_train=ArraySet(bd_train_mfcc_dev, bd_train_label, ind_train),
+        bd_test=ArraySet(bd_test_mfcc_dev, bd_test_label, ind_test),
         clean_test=ArraySet(clean.test_mfcc, clean.test_label),
     )

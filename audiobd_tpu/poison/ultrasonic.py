@@ -12,7 +12,10 @@ The reference ships a trigger wav asset; this framework synthesizes an
 equivalent one (21–22 kHz band) on first use — or loads a user-provided
 ``resources/Ultrasonic/trigger.wav`` — so the attack is self-contained.
 
-TPU-first: injection + MFCC re-extraction run as batched jitted ops.
+TPU-first: only the injected rows' MFCCs are recomputed (batched, on
+device) and merged into the device-resident clean features with one
+compiled scatter — training adopts the result with no host round trip
+(the reference re-extracts per clip on host, ultrasonic.py:60-96).
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiobd_tpu.configs import AttackConfig
-from audiobd_tpu.data.speech_commands import CleanData, batched_mfcc, mfcc_params
+from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.data.wavio import read_wav, write_wav
 from audiobd_tpu.poison.badnets import save_bd_arrays
 from audiobd_tpu.train.loop import ArraySet
@@ -172,6 +175,32 @@ def resolve_trigger_wave_path(cfg: AttackConfig) -> str:
     return os.path.join(cfg.record_dir, "resources", "Ultrasonic", "trigger.wav")
 
 
+def _poison_split(clean_wav, clean_mfcc, clean_mfcc_dev, idx, trig, params, use_pallas):
+    """Device-resident subset poisoning for one split.
+
+    The additive trigger is applied to the ``idx`` rows on host (a cheap f32
+    add — the full wav npy contract needs host copies anyway), their MFCCs
+    are recomputed on device and merged into the (device-resident) clean
+    features with ONE compiled scatter. Training adopts the device array
+    zero-copy; the host npy view is patched from the same subset features,
+    so the two views are bit-identical.
+    Returns (bd_wav_host, bd_mfcc_host, bd_mfcc_dev).
+    """
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device
+    from audiobd_tpu.poison import device_prep
+
+    bd_wav = clean_wav.copy()
+    bd_mfcc_host = clean_mfcc.copy()
+    feats_dev = clean_mfcc_dev if clean_mfcc_dev is not None else jnp.asarray(clean_mfcc)
+    if len(idx) == 0:
+        return bd_wav, bd_mfcc_host, feats_dev
+    bd_wav[idx] = clean_wav[idx] + trig[None]  # (k, 1, T) + (1, 1, T)
+    sub_feats = batched_mfcc_device(bd_wav[idx], params, use_pallas=use_pallas)
+    bd_mfcc_dev = device_prep.scatter_rows(feats_dev, sub_feats, jnp.asarray(idx))
+    bd_mfcc_host[idx] = np.asarray(sub_feats)
+    return bd_wav, bd_mfcc_host, bd_mfcc_dev
+
+
 def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> UltrasonicPoisoned:
     trig = UltrasonicTrigger(
         cfg.ultra_trigger_size,
@@ -183,26 +212,25 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> Ultrasonic
         "ultrasonic requires the 44.1 kHz pipeline (cfg.dsp.sample_rate=44100)"
     )
     params = mfcc_params(cfg)
-    trig_j = jnp.asarray(trig)
 
     n_train = len(clean.train_wav)
     rng = rnd.np_rng(cfg.train.seed, "ultrasonic_poison")
     poison_idx = rng.choice(n_train, size=int(n_train * cfg.poisoning_rate), replace=False)
 
-    bd_train_wav = clean.train_wav.copy()
-    bd_train_wav[poison_idx] = np.asarray(jnp.asarray(clean.train_wav[poison_idx]) + trig_j[None])
-    bd_train_mfcc = clean.train_mfcc.copy()
-    bd_train_mfcc[poison_idx] = batched_mfcc(bd_train_wav[poison_idx], params, use_pallas=cfg.dsp.use_pallas)
+    bd_train_wav, bd_train_mfcc, bd_train_mfcc_dev = _poison_split(
+        clean.train_wav, clean.train_mfcc, clean.train_mfcc_dev,
+        poison_idx, trig, params, cfg.dsp.use_pallas,
+    )
     bd_train_label = clean.train_label.copy()
     bd_train_label[poison_idx] = cfg.target_label
     ind_train = np.zeros(n_train, dtype=np.int64)
     ind_train[poison_idx] = 1
 
     nontarget = clean.test_label != cfg.target_label
-    bd_test_wav = clean.test_wav.copy()
-    bd_test_wav[nontarget] = np.asarray(jnp.asarray(clean.test_wav[nontarget]) + trig_j[None])
-    bd_test_mfcc = clean.test_mfcc.copy()
-    bd_test_mfcc[nontarget] = batched_mfcc(bd_test_wav[nontarget], params, use_pallas=cfg.dsp.use_pallas)
+    bd_test_wav, bd_test_mfcc, bd_test_mfcc_dev = _poison_split(
+        clean.test_wav, clean.test_mfcc, clean.test_mfcc_dev,
+        np.flatnonzero(nontarget), trig, params, cfg.dsp.use_pallas,
+    )
     bd_test_label = np.full(len(clean.test_label), cfg.target_label, dtype=np.int64)
     ind_test = nontarget.astype(np.int64)
 
@@ -219,8 +247,8 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True) -> Ultrasonic
             poison_index_test=ind_test,
         )
     return UltrasonicPoisoned(
-        bd_train=ArraySet(bd_train_mfcc, bd_train_label, ind_train),
-        bd_test=ArraySet(bd_test_mfcc, bd_test_label, ind_test),
+        bd_train=ArraySet(bd_train_mfcc_dev, bd_train_label, ind_train),
+        bd_test=ArraySet(bd_test_mfcc_dev, bd_test_label, ind_test),
         clean_test=ArraySet(clean.test_mfcc, clean.test_label),
         trigger=trig,
     )

@@ -160,7 +160,9 @@ def make_batch(
 
 @dataclasses.dataclass
 class ArraySet:
-    """A dataset slice living in host memory as dense arrays."""
+    """A dataset slice as dense arrays — host numpy or device-resident
+    jax.Array feats (the poisoning preps return device arrays so
+    DeviceDataset adopts them with no host round trip)."""
 
     feats: np.ndarray        # (N, 1, frames, n_mfcc)
     labels: np.ndarray       # (N,)

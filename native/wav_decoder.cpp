@@ -31,14 +31,20 @@ uint32_t rd_u32(const uint8_t* p) {
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)p[0] | ((uint16_t)p[1] << 8); }
 
-// Decode one file's first channel into out[0..max_len), zero-padding the
-// tail. Returns info; info.status != 0 on failure.
-WavInfo decode_one(const char* path, float* out, int max_len) {
-  WavInfo info;
+// Shared RIFF walk: load the file and locate fmt + data. On success,
+// `parsed.data` points into `buf` and info carries rate/channels/bits.
+struct Parsed {
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+  int fmt_tag = 0;
+};
+
+Parsed parse_riff(const char* path, std::vector<uint8_t>& buf, WavInfo& info) {
+  Parsed parsed;
   FILE* f = fopen(path, "rb");
   if (!f) {
     info.status = 1;
-    return info;
+    return parsed;
   }
   // Read the whole file (Speech Commands clips are ~32 KB).
   fseek(f, 0, SEEK_END);
@@ -47,20 +53,20 @@ WavInfo decode_one(const char* path, float* out, int max_len) {
   if (size < 44 || size > (64 << 20)) {
     fclose(f);
     info.status = 2;
-    return info;
+    return parsed;
   }
-  std::vector<uint8_t> buf((size_t)size);
+  buf.resize((size_t)size);
   if (fread(buf.data(), 1, (size_t)size, f) != (size_t)size) {
     fclose(f);
     info.status = 3;
-    return info;
+    return parsed;
   }
   fclose(f);
 
   const uint8_t* p = buf.data();
   if (memcmp(p, "RIFF", 4) != 0 || memcmp(p + 8, "WAVE", 4) != 0) {
     info.status = 4;
-    return info;
+    return parsed;
   }
 
   // Walk chunks for fmt + data.
@@ -86,14 +92,29 @@ WavInfo decode_one(const char* path, float* out, int max_len) {
   }
   if (!data || channels <= 0 || rate <= 0 || (fmt_tag != 1 && fmt_tag != 3)) {
     info.status = 5;
-    return info;
+    return parsed;
   }
   info.sample_rate = rate;
   info.channels = channels;
   info.bits = bits;
+  parsed.data = data;
+  parsed.data_len = data_len;
+  parsed.fmt_tag = fmt_tag;
+  return parsed;
+}
+
+// Decode one file's first channel into out[0..max_len), zero-padding the
+// tail. Returns info; info.status != 0 on failure.
+WavInfo decode_one(const char* path, float* out, int max_len) {
+  WavInfo info;
+  std::vector<uint8_t> buf;
+  Parsed parsed = parse_riff(path, buf, info);
+  if (info.status != 0) return info;
+  int channels = info.channels, bits = info.bits, fmt_tag = parsed.fmt_tag;
+  const uint8_t* data = parsed.data;
 
   int bytes_per = bits / 8;
-  long total_frames = (long)(data_len / ((size_t)bytes_per * channels));
+  long total_frames = (long)(parsed.data_len / ((size_t)bytes_per * channels));
   int n = (int)(total_frames < max_len ? total_frames : max_len);
   info.n_frames = n;
 
@@ -133,6 +154,34 @@ WavInfo decode_one(const char* path, float* out, int max_len) {
   return info;
 }
 
+// int16 PCM passthrough decode: the raw samples go out untouched (half the
+// bytes of f32 — the caller ships them to the accelerator and dequantizes
+// there). Only fmt 1 / 16-bit files qualify; everything else returns
+// status 7 so the caller can fall back to the float path for that file.
+WavInfo decode_one_i16(const char* path, int16_t* out, int max_len) {
+  WavInfo info;
+  std::vector<uint8_t> buf;
+  Parsed parsed = parse_riff(path, buf, info);
+  if (info.status != 0) return info;
+  if (parsed.fmt_tag != 1 || info.bits != 16) {
+    info.status = 7;  // not int16 PCM — caller retries as float
+    return info;
+  }
+  int channels = info.channels;
+  long total_frames = (long)(parsed.data_len / ((size_t)2 * channels));
+  int n = (int)(total_frames < max_len ? total_frames : max_len);
+  info.n_frames = n;
+  const uint8_t* data = parsed.data;
+  if (channels == 1) {
+    memcpy(out, data, (size_t)n * 2);  // mono: contiguous copy
+  } else {
+    for (int i = 0; i < n; i++)
+      out[i] = (int16_t)rd_u16(data + (size_t)i * channels * 2);
+  }
+  for (int i = n; i < max_len; i++) out[i] = 0;
+  return info;
+}
+
 }  // namespace
 
 extern "C" {
@@ -163,6 +212,34 @@ int wavdec_batch(const char** paths, int n, float* out, int max_len,
   return failures.load();
 }
 
-int wavdec_version() { return 1; }
+// paths: n C strings. out: (n, max_len) int16, zero-padded, raw PCM.
+// Per-file status 7 marks non-int16-PCM files (caller falls back to the
+// float decoder for those); other nonzero statuses are hard errors.
+// Returns number of files with nonzero status.
+int wavdec_batch_i16(const char** paths, int n, int16_t* out, int max_len,
+                     int* lengths, int* rates, int* status, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      WavInfo info = decode_one_i16(paths[i], out + (size_t)i * max_len, max_len);
+      lengths[i] = info.n_frames;
+      rates[i] = info.sample_rate;
+      status[i] = info.status;
+      if (info.status != 0) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+int wavdec_version() { return 2; }
 
 }  // extern "C"

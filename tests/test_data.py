@@ -86,3 +86,95 @@ def test_prepare_clean_dataset_contract(tmp_path, monkeypatch):
     cached = load_clean_data(cfg2)
     np.testing.assert_array_equal(cached.train_mfcc, data.train_mfcc)
     np.testing.assert_array_equal(cached.test_label, data.test_label)
+
+
+def test_pcm16_decode_bit_equality(tmp_path):
+    """Raw int16 decode, dequantized, must match the f32 decode bit-for-bit
+    (2^-15 is a power of two — VERDICT r3 item 7's equality requirement)."""
+    from audiobd_tpu.data.native import decode_batch_pcm16
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(8):
+        n = int(rng.integers(4000, 16001))
+        wav = (rng.standard_normal(n) * 0.4).astype(np.float32)
+        path = str(tmp_path / f"p{i}.wav")
+        write_wav(path, wav, 16000)
+        paths.append(path)
+    f32, lengths, rates = decode_batch(paths, 16000)
+    pcm, lengths2, rates2, ok = decode_batch_pcm16(paths, 16000)
+    assert ok.all() and (lengths == lengths2).all() and (rates == rates2).all()
+    np.testing.assert_array_equal(pcm.astype(np.float32) * (1.0 / 32768.0), f32)
+
+
+def test_pcm16_mfcc_bit_equality():
+    """MFCCs from device-dequantized PCM must equal MFCCs from f32 wavs."""
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device, mfcc_params
+
+    cfg = make_config("badnets")
+    params = mfcc_params(cfg)
+    rng = np.random.default_rng(6)
+    pcm = (rng.standard_normal((5, 16000)) * 8000).astype(np.int16)
+    f32 = pcm.astype(np.float32) * (1.0 / 32768.0)
+    a = np.asarray(batched_mfcc_device(pcm, params))
+    b = np.asarray(batched_mfcc_device(f32, params))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pcm16_rejects_other_widths():
+    """Non-int16 integer PCM must raise, not silently mis-scale (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from audiobd_tpu.poison.device_prep import dequantize_pcm
+
+    with pytest.raises(ValueError):
+        dequantize_pcm(jnp.zeros((2, 16), jnp.int32))
+
+
+def test_split_index_parity():
+    """prepare_clean_dataset splits arange(n) and gathers; sklearn must give
+    the identical permutation as splitting the arrays directly."""
+    from sklearn.model_selection import train_test_split
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((37, 4)).astype(np.float32)
+    y = rng.integers(0, 5, 37)
+    xa, xb, ya, yb = train_test_split(x, y, test_size=0.2, random_state=35)
+    ia, ib = train_test_split(np.arange(37), test_size=0.2, random_state=35)
+    np.testing.assert_array_equal(x[ia], xa)
+    np.testing.assert_array_equal(x[ib], xb)
+    np.testing.assert_array_equal(y[ia], ya)
+    np.testing.assert_array_equal(y[ib], yb)
+
+
+def test_prepare_mixed_rate_pools(tmp_path, monkeypatch):
+    """Off-rate files resample into the f32 pool and interleave with PCM16
+    rows in original clip order."""
+    monkeypatch.chdir(tmp_path)
+    labels = ["yes", "no"]
+    sr = 16000
+    rng = np.random.default_rng(11)
+    for label in labels:
+        d = os.path.join("tree", label)
+        os.makedirs(d, exist_ok=True)
+        for i in range(4):
+            wav = (0.2 * rng.standard_normal(sr)).astype(np.float32)
+            write_wav(os.path.join(d, f"{i}.wav"), wav, sr)
+        # an off-rate clip (1 s at 22050 Hz) that must take the resample path
+        write_wav(os.path.join(d, "odd.wav"),
+                  (0.2 * rng.standard_normal(22050)).astype(np.float32), 22050)
+    cfg = make_config("badnets", dataset="SCDv1-10", result="mixed_test")
+    import audiobd_tpu.configs as C
+
+    monkeypatch.setitem(C.DATASET_LABELS, "SCDv1-10", labels)
+    data = prepare_clean_dataset(cfg, data_path="tree", save=False)
+    n_total = len(data.train_wav) + len(data.test_wav)
+    assert n_total == 2 * 5  # 4 PCM16 + 1 resampled per class
+    # device/host feature views agree
+    np.testing.assert_array_equal(np.asarray(data.train_mfcc_dev), data.train_mfcc)
+    # every row's features must equal a from-scratch recompute of its wav
+    from audiobd_tpu.data.speech_commands import batched_mfcc, mfcc_params
+
+    params = mfcc_params(cfg)
+    np.testing.assert_allclose(
+        batched_mfcc(data.test_wav, params), data.test_mfcc, atol=2e-4, rtol=1e-5)

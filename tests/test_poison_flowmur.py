@@ -85,10 +85,9 @@ def test_trigger_optimization_reduces_target_loss(setup):
     # ~11% at this budget).
     assert ce_opt < ce_init * 0.95, (ce_init, ce_opt)
 
-    # Reference-faithful accumulated mode (one Adam step per epoch,
-    # utils/flowmur_generate_trigger.py:101-103) must also descend. Same
-    # budget in *steps* would be 40/n_batches updates, so give it the same
-    # number of UPDATES (epochs == updates here) for a fair descent check.
+    # Reference-faithful accumulated mode (an Adam step per batch on the
+    # prefix-summed epoch gradient, utils/flowmur_generate_trigger.py:100-105)
+    # must also descend.
     acc_cfg = dataclasses.replace(fast_cfg, flowmur_update="accumulated")
     trigger_acc = flowmur.optimize_trigger(
         acc_cfg, model, state, hosts, epochs=40, batch_size=32, verbose=False, save_snapshots=False

@@ -62,7 +62,7 @@ def _train_torch(poisoned):
     model = TorchSmallCNN()
     opt = torch.optim.Adam(model.parameters(), lr=LR)
     crit = tnn.CrossEntropyLoss()  # on log-softmax outputs — the reference's quirk
-    x = torch.from_numpy(poisoned.bd_train.feats.astype(np.float32))
+    x = torch.from_numpy(np.asarray(poisoned.bd_train.feats, np.float32))
     y = torch.from_numpy(poisoned.bd_train.labels)
     g = torch.Generator().manual_seed(35)
     model.train()
@@ -76,7 +76,7 @@ def _train_torch(poisoned):
     with torch.no_grad():
         clean_pred = model(torch.from_numpy(poisoned.clean_test.feats.astype(np.float32))).argmax(1)
         clean_acc = 100.0 * (clean_pred.numpy() == poisoned.clean_test.labels).mean()
-        bd_pred = model(torch.from_numpy(poisoned.bd_test.feats.astype(np.float32))).argmax(1)
+        bd_pred = model(torch.from_numpy(np.asarray(poisoned.bd_test.feats, np.float32))).argmax(1)
         ind = poisoned.bd_test.indicators == 1
         asr = 100.0 * (bd_pred.numpy()[ind] == poisoned.bd_test.labels[ind]).mean()
     return clean_acc, asr
