@@ -1,9 +1,11 @@
 """Unified CLI dispatcher: ``python -m audiobd_tpu <command> [flags]``.
 
-Commands mirror the reference's nine entry scripts plus dataset download:
+Commands mirror the reference's nine entry scripts plus dataset download,
+plus a serving entry the reference lacks:
 attacks   badnets, jingleback, ultrasonic, daba, flowmur
 defenses  fp, ft_reg, tsbd, correlation_analysis
 data      get_dataset
+serving   infer
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ COMMANDS = {
     "tsbd": "audiobd_tpu.cli.tsbd",
     "correlation_analysis": "audiobd_tpu.cli.correlation_analysis",
     "get_dataset": "audiobd_tpu.cli.get_dataset",
+    # beyond-reference: serve a trained checkpoint
+    "infer": "audiobd_tpu.cli.infer",
 }
 
 
