@@ -1,0 +1,110 @@
+"""Block2 formulation shootout (VERDICT r3 item 6 follow-up).
+
+CPU HLO cost analysis says smallcnn's block2 (conv2x2 64→64 on the pooled
+(B, 100, 13, 64) map) carries ~3x block1's FLOPs; smallcnn bf16 MFU was
+5.28% in BENCH_r02. Before writing a windowed-DMA Pallas kernel, measure
+whether the tiny W=13 spatial extent is simply mis-tiling XLA's conv and an
+im2col matmul formulation (MXU-shaped: M=B·99·12, K=257, N=64) already
+closes the gap — on both the forward and the parameter gradient.
+
+Run on the TPU fixture (one JSON line per timing):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/block2_experiments.py [dtype]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from audiobd_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache("auto")
+
+import jax  # noqa: E402
+
+# Axon's sitecustomize pins jax_platforms; a wedged tunnel would hang the
+# first device touch. B2_PLATFORM=cpu forces a local smoke run.
+if os.environ.get("B2_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["B2_PLATFORM"])
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+DTYPE = jnp.bfloat16 if (len(sys.argv) < 2 or sys.argv[1] == "bfloat16") else jnp.float32
+B = int(os.environ.get("B2_BATCH", 256))
+ITERS = 30
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])  # force
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    return (time.perf_counter() - t0) / ITERS
+
+
+def conv_lax(x, k, b):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+
+
+def conv_im2col(x, k, b):
+    # 2x2 taps → channel concat: (B, H-1, W-1, 4C) @ (4C, Cout)
+    p = jnp.concatenate(
+        [x[:, :-1, :-1], x[:, :-1, 1:], x[:, 1:, :-1], x[:, 1:, 1:]], axis=-1
+    )
+    km = k.transpose(0, 1, 2, 3).reshape(-1, k.shape[-1])
+    return jax.lax.dot_general(
+        p, km, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype) + b
+
+
+def block(conv, x, k, b, g, be):
+    from audiobd_tpu.models.layers import max_pool_torch
+
+    r = jnp.maximum(conv(x, k, b), 0)
+    rf = r.astype(jnp.float32)
+    mu = jnp.mean(rf, axis=(0, 1, 2))
+    var = jnp.mean(rf * rf, axis=(0, 1, 2)) - mu * mu
+    z = ((rf - mu) * jax.lax.rsqrt(var + 1e-5) * g + be).astype(r.dtype)
+    return max_pool_torch(z, (2, 2), padding=(1, 1))
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    def P(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32), DTYPE)
+
+    x = P(B, 100, 13, 64)
+    k, b = P(2, 2, 64, 64), P(64)
+    g, be = jnp.ones((64,), jnp.float32), jnp.zeros((64,), jnp.float32)
+
+    rows = []
+    for name, conv in (("lax_conv", conv_lax), ("im2col", conv_im2col)):
+        fwd = jax.jit(lambda k, b, conv=conv: block(conv, x, k, b, g, be))
+        t_f = timed(fwd, k, b)
+
+        def loss(params, conv=conv):
+            return jnp.sum(block(conv, x, params[0], params[1], g, be).astype(jnp.float32))
+
+        gradfn = jax.jit(jax.grad(loss))
+        t_g = timed(gradfn, (k, b))
+        rows.append({"formulation": name, "dtype": str(np.dtype(DTYPE.dtype if hasattr(DTYPE, 'dtype') else DTYPE)),
+                     "fwd_ms": round(t_f * 1e3, 3), "fwd_bwd_ms": round(t_g * 1e3, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # equality check (same math, different lowering)
+    a = jax.jit(lambda: block(conv_lax, x, k, b, g, be))()
+    c = jax.jit(lambda: block(conv_im2col, x, k, b, g, be))()
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32))))
+    print(json.dumps({"max_abs_diff": err}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,7 @@ run_stage fp_warm 1200 python -m audiobd_tpu fp --result badnets_tsbd_r4
 #    blocks 2-3, or record the measured bound)
 run_stage profile_bf16 1800 python scripts/profile_smallcnn.py bfloat16
 run_stage profile_bf16_unfused 1800 env PROF_FUSED=off python scripts/profile_smallcnn.py bfloat16
+run_stage block2_shootout 1200 python scripts/block2_experiments.py bfloat16
 
 # 5. VERDICT item 2 (carried from r3): FlowMur fused-vs-unfused seed study
 #    (longest; resumable via /tmp/flowmur_seed_study.jsonl)
@@ -87,7 +88,7 @@ run_stage flowmur_study 21600 python scripts/flowmur_seed_study.py
 
 missing=0
 for s in bench jb_lstmatt ultra_rnn tsbd_attack tsbd_cold tsbd_warm fp_warm \
-         profile_bf16 profile_bf16_unfused flowmur_study; do
+         profile_bf16 profile_bf16_unfused block2_shootout flowmur_study; do
   [ -f "$LOGDIR/$s.ok" ] || missing=$((missing + 1))
 done
 if [ "$missing" -eq 0 ]; then
