@@ -30,7 +30,9 @@ def parse_arguments():
                         help="score the run's cached clean test split instead")
     parser.add_argument("--top_k", type=int, default=3)
     parser.add_argument("--dataset", type=str, default=None, help="label-name table override")
-    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="eval batch size (default: the training batch size from the "
+                             "checkpoint spec — batch-mean loss parity with the training log)")
     return parser.parse_args()
 
 
@@ -44,8 +46,12 @@ def _load(result: str, dataset: str | None):
     with open(spec_path) as f:
         spec = json.load(f)
     kw = {"result": result, "model": spec["model"], "num_classes": spec["num_classes"]}
-    if dataset:
-        kw["dataset"] = dataset
+    # label table / clean cache location: CLI override > the dataset the
+    # checkpoint was trained on > preset default (pre-round-4 checkpoints)
+    if dataset or spec.get("dataset"):
+        kw["dataset"] = dataset or spec["dataset"]
+    if spec.get("batch_size"):
+        kw["batch_size"] = spec["batch_size"]
     cfg = make_config(spec["attack"], **kw)
     model, variables, _ = load_bd_model(cfg)
     return cfg, model, variables
@@ -59,6 +65,8 @@ def _featurize_files(cfg, paths: list[str]):
     from audiobd_tpu.data.wavio import read_wav
     from audiobd_tpu.dsp import resample
 
+    from audiobd_tpu.poison.device_prep import padded_size
+
     sr, t = cfg.dsp.sample_rate, cfg.dsp.sample_rate  # 1 s at the attack's rate
     rows = []
     for path in paths:
@@ -69,7 +77,12 @@ def _featurize_files(cfg, paths: list[str]):
         n = min(wav.shape[1], t)
         clip[:n] = wav[0, :n]
         rows.append(clip)
-    return batched_mfcc_device(np.stack(rows), mfcc_params(cfg), use_pallas=cfg.dsp.use_pallas)
+    # wrap-pad to a quantized bucket: over the tunneled backend every unique
+    # clip count would otherwise pay a fresh ~20-60 s serving compile
+    n = len(rows)
+    rows.extend([rows[0]] * (padded_size(n, 2048) - n))
+    feats = batched_mfcc_device(np.stack(rows), mfcc_params(cfg), use_pallas=cfg.dsp.use_pallas)
+    return feats, n
 
 
 def main():
@@ -97,15 +110,16 @@ def main():
         state = SimpleNamespace(params=variables["params"],
                                 batch_stats=variables.get("batch_stats", {}))
         ev = run_eval(make_eval_step(model), state,
-                      ArraySet(clean.test_mfcc, clean.test_label), args.batch_size)
+                      ArraySet(clean.test_mfcc, clean.test_label),
+                      args.batch_size or cfg.train.batch_size)
         print(f"clean test: acc {ev['acc']:.2f}  loss {ev['loss']:.4f} "
               f"({len(clean.test_label)} clips)")
         return ev
 
     if not args.wav:
         raise SystemExit("nothing to do: pass --wav files or --eval_clean")
-    feats = _featurize_files(cfg, args.wav)
-    probs = np.asarray(probs_fn(feats))
+    feats, n = _featurize_files(cfg, args.wav)
+    probs = np.asarray(probs_fn(feats))[:n]
     k = min(args.top_k, probs.shape[-1])
     for path, row in zip(args.wav, probs):
         top = np.argsort(row)[::-1][:k]

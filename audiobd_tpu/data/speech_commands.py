@@ -81,7 +81,8 @@ def batched_mfcc_device(
     if use_pallas and jax.default_backend() not in ("cpu",):
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
 
-        fn = jax.jit(lambda w: fused_mfcc_features(jnp.squeeze(dequantize_pcm(w), -2), params))
+        # fused_mfcc_features accepts (N, T) and (N, 1, T) alike
+        fn = jax.jit(lambda w: fused_mfcc_features(dequantize_pcm(w), params))
     else:
         fn = jax.jit(lambda w: mfcc_features(dequantize_pcm(w), params))
     outs = []

@@ -18,11 +18,12 @@ badnets.py:38-77, ultrasonic.py:60-96). Here the whole pass —
     compiled programs via the persistent compile cache instead of paying a
     fresh ~20-60 s tunnel compile per distinct dataset size.
 
-poison/badnets.py keeps its own module-level jitted wrappers on top of
-``make_block_fn``/``map_blocks`` (its trigger is a traced argument — the
-bench-hot path must reuse one executable); ``fused_poison_features`` is the
-generic one-shot entry for attacks whose injection closes over fixed
-trigger assets (ultrasonic).
+poison/badnets.py builds its fused prep from ``make_block_fn``/``map_blocks``
+/``run_prep`` with module-level jitted wrappers (its trigger is a traced
+argument — the bench-hot path must reuse one executable). The subset attacks
+(ultrasonic/jingleback/flowmur/daba) recompute only their injected rows'
+MFCCs and merge them into the device-resident clean features with
+``scatter_rows``.
 """
 
 from __future__ import annotations
@@ -49,19 +50,15 @@ def dequantize_pcm(w: jax.Array) -> jax.Array:
     return w
 
 
-def make_block_fn(params, *, wav_fn=None, feat_fn=None, use_pallas: bool = False):
+def make_block_fn(params, *, feat_fn=None, use_pallas: bool = False):
     """Build the (chunk, T) wavs + (chunk,) indicators → (chunk, 1, F, M) body.
 
-    ``wav_fn``: waveform-domain injection applied to indicator==1 rows before
-    MFCC (ultrasonic's additive trigger). ``feat_fn``: feature-domain
-    injection applied to indicator==1 rows after MFCC (BadNets' patch).
-    Either may close over device arrays or tracers.
+    ``feat_fn``: feature-domain injection applied to indicator==1 rows after
+    MFCC (BadNets' patch); may close over device arrays or tracers.
     """
 
     def block(w, ind):
         w = dequantize_pcm(w)
-        if wav_fn is not None:
-            w = jnp.where(ind[:, None] == 1, wav_fn(w), w)
         if use_pallas:
             from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
 
@@ -154,26 +151,3 @@ def scatter_rows(base: jax.Array, rows: jax.Array, idx: jax.Array) -> jax.Array:
     return base.at[idx].set(rows)
 
 
-def fused_poison_features(
-    wavs,
-    indicators,
-    params,
-    *,
-    wav_fn=None,
-    feat_fn=None,
-    chunk: int = 2048,
-    use_pallas: bool = False,
-) -> jax.Array:
-    """Generic one-shot fused prep: (N, T)/(N, 1, T) wavs (+ indicators) →
-    (N, 1, F, M) poisoned features, device-resident.
-
-    Builds its jits per call (the injection fns may close over trigger
-    assets), so it is meant for once-per-run prep; repeated identical calls
-    still hit the persistent XLA compile cache.
-    """
-    if use_pallas and jax.default_backend() == "cpu":
-        use_pallas = False
-    block = make_block_fn(params, wav_fn=wav_fn, feat_fn=feat_fn, use_pallas=use_pallas)
-    flat = jax.jit(block)
-    chunked = jax.jit(lambda w, i: map_blocks(block, w, i, chunk))
-    return run_prep(flat, chunked, wavs, indicators, chunk)

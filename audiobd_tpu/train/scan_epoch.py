@@ -243,17 +243,19 @@ def make_sharded_perm(
     return perm, mask, n_loc * d
 
 
-def pad_rows(arr: np.ndarray, n_devices: int) -> np.ndarray:
-    """Rearrange rows into the shard_layout slot grid: shard d's slot block
-    holds its counts[d] real rows wrap-padded to n_loc (padded copies are
-    never emitted by make_sharded_perm's masks)."""
-    n = arr.shape[0]
+def pad_rows_index(n: int, n_devices: int) -> np.ndarray:
+    """Flat row indices of the shard_layout slot grid: shard d's slot block
+    holds its counts[d] real rows wrap-padded to n_loc."""
     n_loc, offsets, counts = shard_layout(n, n_devices)
-    blocks = []
-    for off, cnt in zip(offsets, counts):
-        idx = off + (np.arange(n_loc) % int(cnt))
-        blocks.append(arr[idx])
-    return np.concatenate(blocks, axis=0)
+    return np.concatenate(
+        [off + (np.arange(n_loc) % int(cnt)) for off, cnt in zip(offsets, counts)]
+    )
+
+
+def pad_rows(arr: np.ndarray, n_devices: int) -> np.ndarray:
+    """Rearrange rows into the shard_layout slot grid (padded copies are
+    never emitted by make_sharded_perm's masks)."""
+    return arr[pad_rows_index(arr.shape[0], n_devices)]
 
 
 def _with_bn_axis(model, axis_name: str):
@@ -382,15 +384,19 @@ class ShardedDeviceDataset:
         self.n = len(data.labels)
         sh = NamedSharding(mesh, P("data"))
         ind = data.indicators if data.indicators is not None else np.zeros(self.n, np.int64)
-        self.feats = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(data.feats, np.float32), self.d)), sh
-        )
-        self.labels = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(data.labels, np.int32), self.d)), sh
-        )
-        self.indicators = jax.device_put(
-            jnp.asarray(pad_rows(np.asarray(ind, np.int32), self.d)), sh
-        )
+
+        def shard(arr, dtype):
+            if isinstance(arr, jax.Array):
+                # device-resident input (the poisoning preps): rearrange with
+                # one device gather and reshard device-to-device — never pull
+                # the split through the (bandwidth-bound) host link.
+                idx = jnp.asarray(pad_rows_index(arr.shape[0], self.d))
+                return jax.device_put(jnp.take(arr.astype(dtype), idx, axis=0), sh)
+            return jax.device_put(jnp.asarray(pad_rows(np.asarray(arr, dtype), self.d)), sh)
+
+        self.feats = shard(data.feats, jnp.float32)
+        self.labels = shard(data.labels, jnp.int32)
+        self.indicators = shard(ind, jnp.int32)
 
     def __len__(self):
         return self.n

@@ -219,6 +219,10 @@ def train_attack(
         "num_classes": cfg.num_classes,
         "feature_size": linear_features_for(cfg.name, cfg.model),
         "n_mfcc": cfg.dsp.n_mfcc,
+        # serving metadata (cli/infer.py): the label table and the eval batch
+        # size whose batch-mean loss matches the training log
+        "dataset": cfg.dataset,
+        "batch_size": cfg.train.batch_size,
     }
 
     # Serializing a checkpoint (device→host transfer + Orbax write) costs

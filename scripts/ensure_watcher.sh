@@ -1,14 +1,20 @@
 #!/bin/bash
 # Idempotently (re-)arm the TPU tunnel watcher (VERDICT r3 item 1: re-launch
 # on any entry instead of one mortal loop). Called from bench.py and the
-# multichip dryrun; safe to call any number of times.
+# multichip dryrun; safe to call any number of times and from concurrent
+# processes (flock serializes the check-and-spawn).
 set -u
 LOGDIR=${LOGDIR:-/tmp/r4_campaign}
 mkdir -p "$LOGDIR"
 [ -f "$LOGDIR/campaign.done" ] && exit 0
+exec 9> "$LOGDIR/ensure.lock"
+flock -n 9 || exit 0
 if [ -f "$LOGDIR/watcher.pid" ] && kill -0 "$(cat "$LOGDIR/watcher.pid")" 2>/dev/null; then
   exit 0
 fi
-setsid nohup env WATCHER_GRACE_SECS="${WATCHER_GRACE_SECS:-180}" \
+# Default grace 900 s: driver entries (bench, dryrun) re-arm the watcher on
+# their way through — the campaign must not start while the driver's own TPU
+# work is still running on the 1-core host + single chip.
+setsid nohup env WATCHER_GRACE_SECS="${WATCHER_GRACE_SECS:-900}" \
   bash /root/repo/scripts/tpu_watcher.sh >> "$LOGDIR/watcher.log" 2>&1 < /dev/null &
 echo "watcher armed (see $LOGDIR/watcher.log)"

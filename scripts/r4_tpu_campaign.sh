@@ -32,9 +32,16 @@ report_row() {  # report_row <stage> <status> <secs> <note>
   echo "| $(stamp) | $1 | $2 | ${3}s | $4 |" >> "$REPORT"
 }
 
+MAX_FAILS=${MAX_FAILS:-3}
+
 run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   local name=$1 tmo=$2; shift 2
   if [ -f "$LOGDIR/$name.ok" ]; then echo "[$(stamp)] $name: already done"; return 0; fi
+  local fails=0
+  [ -f "$LOGDIR/$name.failcount" ] && fails=$(cat "$LOGDIR/$name.failcount")
+  if [ "$fails" -ge "$MAX_FAILS" ]; then
+    echo "[$(stamp)] $name: given up ($fails failures)"; return 1
+  fi
   echo "[$(stamp)] $name: starting"
   local t0=$SECONDS
   if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
@@ -43,8 +50,13 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
     report_row "$name" OK $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
   else
     local rc=$?
-    echo "[$(stamp)] $name: FAILED (rc=$rc) — see $LOGDIR/$name.log"
-    report_row "$name" "FAILED rc=$rc" $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
+    fails=$((fails + 1))
+    echo "$fails" > "$LOGDIR/$name.failcount"
+    echo "[$(stamp)] $name: FAILED (rc=$rc, attempt $fails/$MAX_FAILS) — see $LOGDIR/$name.log"
+    report_row "$name" "FAILED rc=$rc ($fails/$MAX_FAILS)" $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
+    if [ "$fails" -ge "$MAX_FAILS" ]; then
+      report_row "$name" "GIVEN UP" 0 "deterministic failure — not retried (watcher would loop forever)"
+    fi
   fi
 }
 
@@ -86,17 +98,25 @@ run_stage block2_shootout 1200 python scripts/block2_experiments.py bfloat16
 #    (longest; resumable via /tmp/flowmur_seed_study.jsonl)
 run_stage flowmur_study 21600 python scripts/flowmur_seed_study.py
 
-missing=0
+# Done when every stage is terminal: OK, or given up after MAX_FAILS
+# deterministic failures (otherwise the watcher would retry forever).
+pending=0 failed=0
 for s in bench jb_lstmatt ultra_rnn tsbd_attack tsbd_cold tsbd_warm fp_warm \
          profile_bf16 profile_bf16_unfused block2_shootout flowmur_study; do
-  [ -f "$LOGDIR/$s.ok" ] || missing=$((missing + 1))
+  if [ -f "$LOGDIR/$s.ok" ]; then continue; fi
+  fails=0; [ -f "$LOGDIR/$s.failcount" ] && fails=$(cat "$LOGDIR/$s.failcount")
+  if [ "$fails" -ge "$MAX_FAILS" ]; then failed=$((failed + 1)); else pending=$((pending + 1)); fi
 done
-if [ "$missing" -eq 0 ]; then
+if [ "$pending" -eq 0 ]; then
   touch "$LOGDIR/campaign.done"
-  report_row campaign COMPLETE 0 "all stages OK"
-  echo "[$(stamp)] campaign complete"
+  if [ "$failed" -eq 0 ]; then
+    report_row campaign COMPLETE 0 "all stages OK"
+  else
+    report_row campaign "COMPLETE ($failed given up)" 0 "see FAILED rows above"
+  fi
+  echo "[$(stamp)] campaign complete ($failed stage(s) given up)"
 else
-  echo "[$(stamp)] campaign finished with $missing stage(s) not OK"
+  echo "[$(stamp)] campaign finished with $pending stage(s) still retryable"
 fi
 rm -f "$LOGDIR/campaign.pid"
-exit "$missing"
+exit "$pending"

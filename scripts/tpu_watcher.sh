@@ -28,7 +28,9 @@ while true; do
   # probe in a killable subprocess, never in this shell's own python.
   if timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
     echo "[$(stamp)] tunnel up — running campaign"
-    bash /root/repo/scripts/r4_tpu_campaign.sh >> "$LOGDIR/campaign_runs.log" 2>&1
+    # flock: only one campaign can ever run, even with a rogue second watcher
+    flock -n "$LOGDIR/campaign.lock" \
+      bash /root/repo/scripts/r4_tpu_campaign.sh >> "$LOGDIR/campaign_runs.log" 2>&1
     echo "[$(stamp)] campaign run finished (rc=$?)"
   fi
   sleep 60

@@ -26,6 +26,26 @@ import numpy as np
 import pytest
 
 
+def pytest_sessionstart(session):
+    # Advertise the run so the TPU campaign runner never contends with the
+    # suite on this 1-core host (scripts/r4_tpu_campaign.sh waits on this).
+    try:
+        with open("/tmp/pytest.pid", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        if os.path.exists("/tmp/pytest.pid"):
+            with open("/tmp/pytest.pid") as f:
+                if f.read().strip() == str(os.getpid()):
+                    os.remove("/tmp/pytest.pid")
+    except OSError:
+        pass
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(35)
