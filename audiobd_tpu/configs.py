@@ -98,6 +98,11 @@ class TrainConfig:
     # "auto" = on for single-chip TPU, off elsewhere (the custom call is not
     # GSPMD-partitionable, so multi-chip sharded runs keep the XLA path).
     fused_conv_block: str = "auto"
+    # smallcnn blocks 2-3 conv lowering: "lax" (stock lax.conv) or "im2col"
+    # (taps matmul — MXU-shaped for the tiny W extents; same param tree).
+    # "auto" currently = "lax"; flipped per-backend once the campaign's
+    # block2_shootout measures a win (VERDICT r3 item 6).
+    conv_impl: str = "auto"
     # Multi-chip pure-DP epochs as one shard_map'd scan per epoch (dataset
     # row-sharded, psum'd grads/metrics, sync-BN) instead of the per-batch
     # GSPMD path. "auto" = on for real multi-chip TPU meshes; off on the

@@ -64,8 +64,53 @@ class TorchDense(nn.Module):
         )(x)
 
 
+class _TapConv(nn.Module):
+    """Stride-1 conv as an im2col taps-matmul: taps concat along channels →
+    one (B·H'·W', kh·kw·Cin) @ (kh·kw·Cin, F) dot. Identical param tree and
+    init to nn.Conv (kernel (kh, kw, Cin, F) + bias), so checkpoints
+    interoperate; kernel.reshape row order (i·kw+j)·Cin+c matches the tap
+    concat order. MXU-shaped alternative lowering for the tiny spatial
+    extents of the KWS models (scripts/block2_experiments.py measures it)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        kernel = self.param("kernel", kaiming_uniform_init(), (kh, kw, in_ch, self.features))
+        bias = (
+            self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            if self.use_bias else None
+        )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        ph, pw = self.padding
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+        taps = jnp.concatenate(
+            [x[:, i : i + h - kh + 1, j : j + w - kw + 1]
+             for i in range(kh) for j in range(kw)],
+            axis=-1,
+        )
+        out = jax.lax.dot_general(
+            taps, kernel.reshape(kh * kw * in_ch, self.features).astype(dt),
+            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(dt)
+        return out + bias.astype(dt) if bias is not None else out
+
+
 class TorchConv(nn.Module):
-    """nn.Conv2d on NHWC with torch default init and torch padding ints."""
+    """nn.Conv2d on NHWC with torch default init and torch padding ints.
+
+    ``impl="im2col"`` swaps the stride-1 lax.conv lowering for the taps
+    matmul (_TapConv) under the SAME submodule name/params."""
 
     features: int
     kernel_size: tuple[int, int]
@@ -73,9 +118,16 @@ class TorchConv(nn.Module):
     padding: tuple[int, int] | str = (0, 0)
     use_bias: bool = True
     dtype: object = None  # compute dtype (params stay float32)
+    impl: str = "lax"
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "im2col":
+            assert self.strides == (1, 1) and not isinstance(self.padding, str)
+            return _TapConv(
+                self.features, self.kernel_size, padding=self.padding,
+                use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
+            )(x)
         if isinstance(self.padding, str):
             pad = self.padding
         else:

@@ -47,6 +47,7 @@ class SmallCNN(nn.Module):
     # eval-mode input grads (FlowMur) are always exact, so default off.
     fused_input_grad: bool = False
     bn_axis: str | None = None  # sync-BN mesh axis (sharded scan epochs)
+    conv_impl: str = "lax"  # "im2col": blocks 2-3 as taps-matmuls (same params)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,10 +58,10 @@ class SmallCNN(nn.Module):
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
             input_grad=self.fused_input_grad,
         )
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
-        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
@@ -262,7 +263,8 @@ MODEL_REGISTRY = {
 
 
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
-                dtype=None, fused: bool = False, fused_input_grad: bool = False):
+                dtype=None, fused: bool = False, fused_input_grad: bool = False,
+                conv_impl: str = "lax"):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
@@ -274,7 +276,8 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
     name = name.lower()
     if name == "smallcnn":
         return SmallCNN(num_classes=num_classes, linear_features=feature_size,
-                        dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad)
+                        dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
+                        conv_impl=conv_impl)
     if name in ("largecnn", "resnet"):
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":

@@ -58,12 +58,19 @@ def resolve_fused_conv(cfg: AttackConfig) -> bool:
     return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
+def resolve_conv_impl(cfg: AttackConfig) -> str:
+    """'auto' → 'lax' everywhere for now; the campaign's block2_shootout
+    decides whether TPU flips to the im2col taps-matmul lowering."""
+    mode = getattr(cfg.train, "conv_impl", "auto")
+    return "lax" if mode == "auto" else mode
+
+
 def build_attack_model(cfg: AttackConfig):
     feats = linear_features_for(cfg.name, cfg.model)
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else None
     return build_model(
         cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc, dtype=dtype,
-        fused=resolve_fused_conv(cfg),
+        fused=resolve_fused_conv(cfg), conv_impl=resolve_conv_impl(cfg),
     )
 
 

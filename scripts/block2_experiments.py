@@ -105,6 +105,52 @@ def main():
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32))))
     print(json.dumps({"max_abs_diff": err}), flush=True)
 
+    # decision-grade: the FULL smallcnn train epoch under each lowering
+    # (bench-identical shapes; models.TorchConv impl threaded via config)
+    from audiobd_tpu.configs import make_config
+    from audiobd_tpu.train.loop import ArraySet
+    from audiobd_tpu.train.scan_epoch import DeviceDataset, make_perm, make_train_epoch_fn, pad_plan
+    from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
+
+    n_clips = int(os.environ.get("B2_CLIPS", 20480))
+    batch = int(os.environ.get("B2_EPOCH_BATCH", 256))
+    data = ArraySet(
+        rng.standard_normal((n_clips, 1, 101, 40)).astype(np.float32),
+        rng.integers(0, 10, n_clips).astype(np.int64),
+        (rng.random(n_clips) < 0.1).astype(np.int64),
+    )
+    dset = DeviceDataset(data)
+    dtype_name = "bfloat16" if DTYPE == jnp.bfloat16 else "float32"
+    for impl in ("lax", "im2col"):
+        cfg = make_config("badnets", model="smallcnn", batch_size=batch,
+                          compute_dtype=dtype_name, conv_impl=impl)
+        model = build_attack_model(cfg)
+        tx = make_optimizer(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+        state = TrainState.create(variables, tx)
+        epoch_fn = make_train_epoch_fn(model, tx)
+        n_batches, mask = pad_plan(dset.n, batch)
+        perm = jnp.asarray(make_perm(np.random.default_rng(1), dset.n, n_batches, batch))
+        args = (state, dset.feats, dset.labels, dset.indicators, perm, jnp.asarray(mask),
+                jax.random.PRNGKey(1))
+        compiled = epoch_fn.lower(*args).compile()
+
+        def run(state):
+            state, losses, sums = compiled(state, dset.feats, dset.labels, dset.indicators,
+                                           perm, jnp.asarray(mask), jax.random.PRNGKey(1))
+            jax.device_get(sums)
+            return state
+
+        state = run(state)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state = run(state)
+        dt = (time.perf_counter() - t0) / 3
+        print(json.dumps({"epoch_conv_impl": impl, "dtype": dtype_name,
+                          "epoch_sec": round(dt, 4),
+                          "clips_per_sec": round(n_clips / dt, 1)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

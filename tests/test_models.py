@@ -149,3 +149,31 @@ def test_models_jit_and_grad():
 
     g = jax.grad(loss_fn)(variables["params"], x)
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree_util.tree_leaves(g))
+
+
+def test_smallcnn_im2col_parity():
+    """The taps-matmul conv lowering must share the param tree with lax.conv
+    and agree numerically (same math, different reduction lowering)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiobd_tpu.models import build_model
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 1, 101, 40)), jnp.float32)
+    a = build_model("smallcnn", 10, 3072)
+    b = build_model("smallcnn", 10, 3072, conv_impl="im2col")
+    va = a.init(jax.random.PRNGKey(0), x, train=False)
+    vb = b.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+    for la, lb in zip(jax.tree_util.tree_leaves(va), jax.tree_util.tree_leaves(vb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    ya = a.apply(va, x, train=False)
+    yb = b.apply(vb, x, train=False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-4, rtol=1e-5)
+    # and through a train step (BN batch stats + dropout rngs)
+    ya, sa = a.apply(va, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                     mutable=["batch_stats"])
+    yb, sb = b.apply(vb, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                     mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-3, rtol=1e-4)
