@@ -36,6 +36,18 @@ def main():
         raise SystemExit(0 if len(sys.argv) >= 2 and sys.argv[1] in ("-h", "--help") else 1)
     command = sys.argv.pop(1)
     sys.argv[0] = f"audiobd_tpu {command}"
+    # Platform escape hatch: plugin sitecustomize files (e.g. the axon TPU
+    # shim) override JAX_PLATFORMS programmatically, so the env var alone
+    # cannot force a backend. AUDIOBD_PLATFORM=cpu pins it via jax.config
+    # before any backend is initialized — the only reliable way to run a CLI
+    # on CPU while a tunneled TPU backend is unreachable.
+    import os
+
+    platform = os.environ.get("AUDIOBD_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     # Multi-host hook: a no-op on single-host runs; under a pod/multi-slice
     # launcher (JAX_COORDINATOR_ADDRESS etc.) this joins the cluster before
     # any backend is touched (parallel/distributed.py policy).

@@ -115,6 +115,7 @@ class SmallLSTM(nn.Module):
     fused_block1: bool = False
     fused_input_grad: bool = False  # see SmallCNN.fused_input_grad
     bn_axis: str | None = None
+    conv_impl: str = "lax"  # see SmallCNN.conv_impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,10 +126,10 @@ class SmallLSTM(nn.Module):
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
             input_grad=self.fused_input_grad,
         )
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(1, 1))
-        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype)(x))
+        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
         x = nn.Dropout(0.4, deterministic=not train)(x)
@@ -282,7 +283,8 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
         return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
-                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad)
+                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
+                         conv_impl=conv_impl)
     if name == "lstmwithattention":
         assert n_mfcc is not None
         return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)
