@@ -34,7 +34,7 @@ def parse_arguments():
     parser.add_argument("--load_trigger", type=str, default=None, help="path to sp_trigger npy")
     parser.add_argument(
         "--flowmur_update", type=str, default=None, choices=["per_batch", "accumulated"],
-        help="trigger-opt update rule: per-batch Adam steps or the reference's "
+        help="trigger-opt update rule: independent per-batch Adam steps, or the "
              "reference's per-batch steps on the prefix-summed epoch gradient",
     )
     parser.add_argument("--synthetic", action="store_true")

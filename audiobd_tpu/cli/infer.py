@@ -103,9 +103,19 @@ def main():
     if args.eval_clean:
         from types import SimpleNamespace
 
-        from audiobd_tpu.data.speech_commands import load_clean_data
+        from audiobd_tpu.data.speech_commands import clean_dir, load_clean_data
         from audiobd_tpu.train.loop import ArraySet, make_eval_step, run_eval
 
+        # A health check must not silently fall through to a full dataset
+        # rebuild (hours of wav decode + tunnel compiles) or crash opaquely
+        # when neither cache nor wav tree exists.
+        import os
+
+        if not os.path.exists(os.path.join(clean_dir(cfg), "clean_train_mfcc.npy")):
+            raise SystemExit(
+                f"--eval_clean needs the clean npy cache at {clean_dir(cfg)} "
+                "(run the attack CLI once, or prepare_clean_dataset, to build it)"
+            )
         clean = load_clean_data(cfg, load=True)
         state = SimpleNamespace(params=variables["params"],
                                 batch_stats=variables.get("batch_stats", {}))

@@ -87,6 +87,13 @@ def batched_mfcc_device(
         fn = jax.jit(lambda w: mfcc_features(dequantize_pcm(w), params))
     outs = []
     n = len(wavs)
+    if n == 0:
+        # zero-rate poisoning (clean-control runs) hands in an empty subset;
+        # jnp.concatenate([]) below would raise, so derive the output shape
+        # without dispatching anything.
+        probe = jax.ShapeDtypeStruct((1,) + tuple(np.shape(wavs))[1:], jnp.float32)
+        out = jax.eval_shape(fn, probe)
+        return jnp.zeros((0,) + out.shape[1:], out.dtype)
     is_host = not isinstance(wavs, jax.Array)
     for start in range(0, n, chunk):
         block = wavs[start : start + chunk]

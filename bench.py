@@ -54,7 +54,7 @@ def _wait_for_backend() -> bool:
     """
     import subprocess
 
-    attempts = int(os.environ.get("BENCH_BACKEND_RETRIES", 3))
+    attempts = int(os.environ.get("BENCH_BACKEND_RETRIES", 10))
     for i in range(attempts):
         try:
             r = subprocess.run(
@@ -395,11 +395,63 @@ def bench_torch_reference() -> float:
     return clips
 
 
+def _preempt_campaign():
+    """The bench must own the (single) chip and CPU core: if the recovery
+    campaign is mid-stage when the driver benches, both degrade. Stop the
+    campaign process tree (stages are resumable — the watcher restarts it
+    once bench.pid clears) and advertise this bench run via a pidfile that
+    the watcher and the campaign's stage loop both respect."""
+    logdir = os.environ.get("LOGDIR", "/tmp/r4_campaign")
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "bench.pid"), "w") as f:
+        f.write(str(os.getpid()))
+
+    def _children(p):
+        out = []
+        try:
+            for task in os.listdir(f"/proc/{p}/task"):
+                with open(f"/proc/{p}/task/{task}/children") as fh:
+                    out += [int(c) for c in fh.read().split()]
+        except OSError:
+            pass
+        return out
+
+    try:
+        with open(os.path.join(logdir, "campaign.pid")) as f:
+            root = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    import signal
+
+    tree, i = [root], 0
+    while i < len(tree):
+        tree.extend(_children(tree[i]))
+        i += 1
+    for p in reversed(tree):  # leaves first: no orphaned TPU-holding python
+        try:
+            os.kill(p, signal.SIGTERM)
+        except OSError:
+            pass
+    log(f"preempted running campaign (pids {tree}); watcher will resume it")
+
+
+def _clear_bench_pid():
+    try:
+        os.remove(os.path.join(os.environ.get("LOGDIR", "/tmp/r4_campaign"), "bench.pid"))
+    except OSError:
+        pass
+
+
 def main():
     if not _wait_for_backend():
         log("backend never came up — aborting (see probe log above)")
         _rearm_watcher()  # the watcher captures the campaign when it returns
         sys.exit(1)
+    if not os.environ.get("AUDIOBD_NO_WATCHER"):  # campaign's own bench entry keeps its lock
+        _preempt_campaign()
+        import atexit
+
+        atexit.register(_clear_bench_pid)
 
     import jax
 

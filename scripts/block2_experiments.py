@@ -58,7 +58,9 @@ def conv_im2col(x, k, b):
     p = jnp.concatenate(
         [x[:, :-1, :-1], x[:, :-1, 1:], x[:, 1:, :-1], x[:, 1:, 1:]], axis=-1
     )
-    km = k.transpose(0, 1, 2, 3).reshape(-1, k.shape[-1])
+    # HWIO kernel flattens to (4*Cin, Cout) in the same (kh, kw, cin) order
+    # as the tap concat above — no transpose needed.
+    km = k.reshape(-1, k.shape[-1])
     return jax.lax.dot_general(
         p, km, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(x.dtype) + b

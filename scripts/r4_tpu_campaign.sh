@@ -14,6 +14,7 @@ LOGDIR=${LOGDIR:-/tmp/r4_campaign}
 REPORT=${REPORT:-/root/repo/CAMPAIGN_r4.md}
 mkdir -p "$LOGDIR"
 echo $$ > "$LOGDIR/campaign.pid"
+trap 'rm -f "$LOGDIR/campaign.pid"' EXIT
 stamp() { date "+%Y-%m-%d %H:%M:%S"; }
 
 if [ ! -f "$REPORT" ]; then
@@ -34,6 +35,19 @@ report_row() {  # report_row <stage> <status> <secs> <note>
 
 MAX_FAILS=${MAX_FAILS:-3}
 
+tunnel_up() {  # killable-subprocess probe (a wedged tunnel hangs import jax)
+  timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1
+}
+
+wait_for_pytest() {  # never contend with a running test suite or a driver
+  while [ -f /tmp/pytest.pid ] && kill -0 "$(cat /tmp/pytest.pid)" 2>/dev/null; do
+    echo "[$(stamp)] waiting for pytest ($(cat /tmp/pytest.pid)) to finish"; sleep 60
+  done
+  while [ -f "$LOGDIR/bench.pid" ] && kill -0 "$(cat "$LOGDIR/bench.pid")" 2>/dev/null; do
+    echo "[$(stamp)] waiting for driver bench ($(cat "$LOGDIR/bench.pid")) to finish"; sleep 60
+  done
+}
+
 run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   local name=$1 tmo=$2; shift 2
   if [ -f "$LOGDIR/$name.ok" ]; then echo "[$(stamp)] $name: already done"; return 0; fi
@@ -42,6 +56,7 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   if [ "$fails" -ge "$MAX_FAILS" ]; then
     echo "[$(stamp)] $name: given up ($fails failures)"; return 1
   fi
+  wait_for_pytest
   echo "[$(stamp)] $name: starting"
   local t0=$SECONDS
   if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
@@ -50,6 +65,15 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
     report_row "$name" OK $((SECONDS - t0)) "$(tail -c 300 "$LOGDIR/$name.log" | tr '\n|' '; ' | tail -c 160)"
   else
     local rc=$?
+    # A failure with the tunnel down (or a mid-stage pytest start) is the
+    # environment, not the stage — it must NOT consume the give-up budget,
+    # or three outages would write campaign.done and kill the watcher with
+    # the evidence uncollected. Abort this run; the watcher re-probes.
+    if ! tunnel_up; then
+      echo "[$(stamp)] $name: TRANSIENT (rc=$rc, tunnel down mid-stage) — aborting run"
+      report_row "$name" "TRANSIENT rc=$rc" $((SECONDS - t0)) "tunnel down mid-stage; will retry when it returns (failcount untouched)"
+      exit 75  # EX_TEMPFAIL
+    fi
     fails=$((fails + 1))
     echo "$fails" > "$LOGDIR/$name.failcount"
     echo "[$(stamp)] $name: FAILED (rc=$rc, attempt $fails/$MAX_FAILS) — see $LOGDIR/$name.log"
@@ -60,10 +84,7 @@ run_stage() {  # run_stage <name> <timeout_sec> <cmd...>
   fi
 }
 
-# -1. never contend with a running test suite (1-core host, CLAUDE.md)
-while [ -f /tmp/pytest.pid ] && kill -0 "$(cat /tmp/pytest.pid)" 2>/dev/null; do
-  echo "[$(stamp)] waiting for pytest ($(cat /tmp/pytest.pid)) to finish"; sleep 60
-done
+wait_for_pytest
 
 # 0. tunnel sanity
 timeout 120 python -c "import jax; print(jax.devices())" || { echo "tunnel down"; exit 1; }
@@ -72,6 +93,12 @@ timeout 120 python -c "import jax; print(jax.devices())" || { echo "tunnel down"
 #    e2e; BENCH_r04 preview). If the tunnel dies again mid-campaign this is
 #    the capture that matters most (VERDICT r3 item 1).
 run_stage bench 5400 env AUDIOBD_NO_WATCHER=1 python bench.py
+# the bench JSON line is the round's headline evidence — commit it verbatim
+# (the generic OK row truncates its note to 160 chars)
+if [ -f "$LOGDIR/bench.ok" ] && ! grep -q '"bench_json"' "$REPORT" 2>/dev/null; then
+  json=$(grep -m1 '^{' "$LOGDIR/bench.log" | tr '|' ';')
+  [ -n "$json" ] && echo "| $(stamp) | bench_json | OK | - | \`$json\` |" >> "$REPORT"
+fi
 
 # 2. VERDICT item 4: the two never-TPU-validated models, one attack each
 #    (reference --model surface, utils/models.py:180-257).
@@ -118,5 +145,4 @@ if [ "$pending" -eq 0 ]; then
 else
   echo "[$(stamp)] campaign finished with $pending stage(s) still retryable"
 fi
-rm -f "$LOGDIR/campaign.pid"
 exit "$pending"

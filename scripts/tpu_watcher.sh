@@ -24,6 +24,11 @@ while true; do
     sleep 120
     continue
   fi
+  # a driver bench owns the chip + core — never start a campaign under it
+  if [ -f "$LOGDIR/bench.pid" ] && kill -0 "$(cat "$LOGDIR/bench.pid")" 2>/dev/null; then
+    sleep 120
+    continue
+  fi
   # A wedged tunnel hangs `import jax` inside the axon sitecustomize —
   # probe in a killable subprocess, never in this shell's own python.
   if timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then

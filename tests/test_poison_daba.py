@@ -74,6 +74,27 @@ def test_daba_poison_end_to_end(tmp_path, monkeypatch):
     assert out.trigger.shape == (16000,)
 
 
+def test_daba_poison_zero_rate(tmp_path, monkeypatch):
+    """Clean-control run: rate 0 must yield an unpoisoned train set, not a
+    jnp.concatenate([]) crash in the empty-subset MFCC recompute."""
+    monkeypatch.chdir(tmp_path)
+    cfg = make_config("daba", result="daba_zero", host_candidates=40, poisoning_rate=0.0)
+    clean = make_synthetic_clean_data(cfg, n_per_class=8)
+    out = daba.poison(cfg, clean, save=False)
+    assert int(out.bd_train.indicators.sum()) == 0
+    np.testing.assert_array_equal(out.bd_train.feats, clean.train_mfcc)
+    np.testing.assert_array_equal(out.bd_train.labels, clean.train_label)
+
+
+def test_batched_mfcc_device_empty():
+    from audiobd_tpu.data.speech_commands import batched_mfcc_device, mfcc_params
+
+    cfg = make_config("badnets", result="mfcc_empty")
+    out = batched_mfcc_device(np.zeros((0, 1, 16000), np.float32), mfcc_params(cfg))
+    full = batched_mfcc_device(np.zeros((2, 1, 16000), np.float32), mfcc_params(cfg))
+    assert out.shape == (0,) + full.shape[1:] and out.dtype == full.dtype
+
+
 def test_selection_modes_differ(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = make_config("daba", result="daba_sel", host_candidates=60, poisoning_rate=8)
