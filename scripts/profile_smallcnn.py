@@ -24,8 +24,8 @@ import numpy as np  # noqa: E402
 DTYPE = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
 FUSED = os.environ.get("PROF_FUSED", "auto")
 TRACE_DIR = os.environ.get("PROF_DIR", f"/tmp/prof_smallcnn_{DTYPE}_{FUSED}")
-BATCH = 256
-N_CLIPS = 20480
+BATCH = int(os.environ.get("PROF_BATCH", 256))
+N_CLIPS = int(os.environ.get("PROF_CLIPS", 20480))
 
 
 def main():
