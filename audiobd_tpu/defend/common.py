@@ -275,9 +275,9 @@ def finetune_epochs(
     host work between epochs is only the ``project``/``on_epoch`` hooks.
     """
     from audiobd_tpu.train.scan_epoch import run_train_epoch_scan
-    from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.train.state import TrainState, jitted_opt_init
 
-    state = TrainState(params=params, batch_stats=batch_stats, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    state = TrainState(params=params, batch_stats=batch_stats, opt_state=jitted_opt_init(tx, params), step=jnp.zeros((), jnp.int32))
     # donate=False: the defense loops reuse params_o/batch_stats pytrees
     # across calls (e.g. per-ratio restarts), so inputs must stay live.
     epoch_fn = _cached_train_epoch_fn(model, tx)

@@ -34,7 +34,9 @@ def _unlearn(model, params0, batch_stats, data: ArraySet, record_layer, lr, epoc
     tx = optax.adam(lr)
     step = make_unlearn_step(model, tx)
     params = params0
-    opt_state = tx.init(params)
+    from audiobd_tpu.train.state import jitted_opt_init
+
+    opt_state = jitted_opt_init(tx, params)
     np_rng = rnd.np_rng(seed, "corr_unlearn")
     for _ in range(epochs):
         for idx, mask in iter_batches(len(data), min(bs, len(data)), np_rng, shuffle=True):

@@ -206,7 +206,9 @@ def mitigation(
     dset = device_dataset(data.clean_val)
     val_bs = min(bs, len(data.clean_val))
     params = params_o
-    opt_state = tx.init(params)
+    from audiobd_tpu.train.state import jitted_opt_init
+
+    opt_state = jitted_opt_init(tx, params)
     np_rng = rnd.np_rng(cfg.train.seed, "ftreg_shuffle")
 
     # epoch 0 alone, to capture the reference's grad_s probe (the gradient

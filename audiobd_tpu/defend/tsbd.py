@@ -42,6 +42,7 @@ from audiobd_tpu.defend.common import (
     set_leaf,
 )
 from audiobd_tpu.train.loop import iter_batches, make_batch
+from audiobd_tpu.train.state import jitted_opt_init
 from audiobd_tpu.utils import random as rnd
 from audiobd_tpu.utils.logging import append_csv_row, prepend_csv_header, write_csv
 
@@ -325,7 +326,7 @@ def mitigation(
     os.makedirs(checkpoint_dir, exist_ok=True)
     tx = optax.adam(lr_un)
     params = params_o
-    opt_state = tx.init(params)
+    opt_state = jitted_opt_init(tx, params)
     loader = {"clean_val": data.clean_val, "clean_test": data.clean_test, "poison_test": data.bd_test}[data_type]
 
     n_neurons = get_leaf(params, record_layer).shape[-1]
@@ -404,7 +405,12 @@ def mitigation(
             zero_reinit_weight(params_o, ranked[: int(len(ranked) * r)], n2w, reinit_weight_ratio)
             for r in ratios
         ]
-        params_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *reinit_list)
+        # Host stacking: the reinit trees are numpy (checkpoint restore +
+        # host param surgery); jnp.stack here ran 3 eager remote ops per
+        # leaf. np.stack is free and the stack enters the device once, as a
+        # stage_d argument.
+        params_stack = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *reinit_list)
         val_dev = device_dataset(data.clean_val)
         bs_val = min(bs, val_dev.n)
         nb, mask1 = pad_plan(val_dev.n, bs_val)

@@ -2,11 +2,27 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.struct
 import jax
 import optax
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_of(fn):
+    return jax.jit(fn)
+
+
+def jitted_opt_init(tx: optax.GradientTransformation, params):
+    """``tx.init(params)`` as ONE compiled program.
+
+    Eager optax init materializes zeros per leaf — 2-3 tiny remote
+    compiles/dispatches per leaf over the axon tunnel (~1 s each cold,
+    a round trip each warm). Cached per ``tx.init`` function identity so
+    repeated calls reuse the traced program."""
+    return _jit_of(tx.init)(params)
 
 
 @flax.struct.dataclass
@@ -34,7 +50,7 @@ class TrainState:
         return cls(
             params=params,
             batch_stats=batch_stats,
-            opt_state=tx.init(params),
+            opt_state=jitted_opt_init(tx, params),
             step=jnp.zeros((), jnp.int32),
         )
 
