@@ -7,6 +7,7 @@ from audiobd_tpu.models.zoo import (
     SmallCNN,
     SmallLSTM,
     build_model,
+    jit_init,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "RNN",
     "ResNet",
     "build_model",
+    "jit_init",
 ]

@@ -13,6 +13,8 @@ mirroring the load_model clones at badnets.py:112-125 etc.).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -292,3 +294,18 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
         assert n_mfcc is not None
         return RNN(num_classes=num_classes, time_len=n_mfcc, dtype=dtype)
     raise ValueError(f"Unknown model {name}")
+
+
+@_functools.lru_cache(maxsize=None)
+def _cached_init_fn(model, train: bool):
+    return jax.jit(_functools.partial(model.init, train=train))
+
+
+def jit_init(model, key, sample, train: bool = False):
+    """``model.init`` as ONE compiled program.
+
+    Flax initializes eagerly op-by-op (~40 tiny programs for smallcnn:
+    conv/relu/pool/rsqrt/dot/...), each a ~1 s remote compile over the axon
+    tunnel on a cold cache and a host round trip warm. Modules are frozen
+    dataclasses, so the jitted wrapper caches per (model, train)."""
+    return _cached_init_fn(model, train)(key, jnp.asarray(sample))

@@ -33,7 +33,7 @@ import numpy as np
 from audiobd_tpu.configs import AttackConfig, linear_features_for
 from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.data.wavio import write_wav
-from audiobd_tpu.models import build_model
+from audiobd_tpu.models import build_model, jit_init
 from audiobd_tpu.poison.badnets import save_bd_arrays
 from audiobd_tpu.train.loop import ArraySet
 from audiobd_tpu.utils import random as rnd
@@ -164,7 +164,7 @@ def make_victim_scorer(cfg: AttackConfig):
     model = build_model(cfg.model, cfg.num_classes, feats_size, n_mfcc=cfg.dsp.n_mfcc)
     params = mfcc_params(cfg)
     sample = jnp.zeros((1, 1, 32, cfg.dsp.n_mfcc), jnp.float32)
-    variables = model.init(rnd.named_key(cfg.train.seed, "daba_victim"), sample, train=False)
+    variables = jit_init(model, rnd.named_key(cfg.train.seed, "daba_victim"), sample)
 
     @jax.jit
     def softmax_of_wavs(wavs):  # (B, T) → (B, classes)

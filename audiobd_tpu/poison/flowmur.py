@@ -37,7 +37,7 @@ from sklearn.model_selection import train_test_split
 from audiobd_tpu.configs import AttackConfig
 from audiobd_tpu.data.speech_commands import CleanData, mfcc_params
 from audiobd_tpu.dsp import mfcc_features
-from audiobd_tpu.models import build_model
+from audiobd_tpu.models import build_model, jit_init
 from audiobd_tpu.poison.badnets import save_bd_arrays
 from audiobd_tpu.train.checkpoint import save_checkpoint
 from audiobd_tpu.train.loop import (
@@ -120,7 +120,7 @@ def pretrain_surrogate(
     best_state = None
     for run in range(runs):
         key = rnd.named_key(cfg.train.seed, f"surrogate_{run}")
-        variables = model.init(key, jnp.asarray(train_set.feats[:1]), train=False)
+        variables = jit_init(model, key, train_set.feats[:1])
         state = TrainState.create(variables, tx)
         holder = {}
         # device_copy: the train step donates its input state, so a raw

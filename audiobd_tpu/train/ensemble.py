@@ -34,13 +34,17 @@ from audiobd_tpu.train.state import TrainState
 
 
 def init_ensemble(model, tx: optax.GradientTransformation, example, keys) -> TrainState:
-    """Stacked TrainState with a leading member axis K = len(keys)."""
+    """Stacked TrainState with a leading member axis K = len(keys).
+
+    jitted: an unwrapped vmap still dispatches each batched primitive
+    eagerly (~1 s/op cold over the axon tunnel); one program per call is
+    the right cost for a once-per-run init."""
 
     def one(key):
         variables = model.init(key, example, train=False)
         return TrainState.create(variables, tx)
 
-    return jax.vmap(one)(keys)
+    return jax.jit(jax.vmap(one))(keys)
 
 
 def member_state(states: TrainState, i: int) -> TrainState:

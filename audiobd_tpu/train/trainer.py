@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from audiobd_tpu.configs import AttackConfig, linear_features_for
-from audiobd_tpu.models import build_model
+from audiobd_tpu.models import build_model, jit_init
 from audiobd_tpu.parallel.mesh import make_mesh, shard_replicated
 from audiobd_tpu.train.checkpoint import AsyncCheckpointWriter
 from audiobd_tpu.train.loop import (
@@ -96,9 +96,9 @@ def train_clean(
     Returns (model, best TrainState, history)."""
     model = model or build_attack_model(cfg)
     tx = make_optimizer(cfg)
-    variables = model.init(
-        rnd.named_key(cfg.train.seed, "clean_params"),
-        jnp.asarray(train_set.feats[:1].astype(np.float32)), train=False,
+    variables = jit_init(
+        model, rnd.named_key(cfg.train.seed, "clean_params"),
+        train_set.feats[:1].astype(np.float32),
     )
     state = TrainState.create(variables, tx)
     train_step = make_train_step(model, tx)
@@ -141,7 +141,7 @@ def train_attack(
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
 
     sample = bd_train.feats[:1].astype(np.float32)
-    variables = model.init(rnd.named_key(cfg.train.seed, "params"), sample, train=False)
+    variables = jit_init(model, rnd.named_key(cfg.train.seed, "params"), sample)
     state = TrainState.create(variables, tx)
     if resume:
         # Elastic restart: pick up params/opt_state/step from the last best

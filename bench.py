@@ -118,6 +118,7 @@ def bench_workload(model_name: str, dtype: str) -> dict:
         make_train_epoch_fn,
         pad_plan,
     )
+    from audiobd_tpu.models import jit_init
     from audiobd_tpu.train.state import TrainState
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
@@ -126,7 +127,7 @@ def bench_workload(model_name: str, dtype: str) -> dict:
     tx = make_optimizer(cfg)
     data = _make_data(np.random.default_rng(0))
     dset = DeviceDataset(data)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]))
     state = TrainState.create(variables, tx)
     epoch_fn = make_train_epoch_fn(model, tx)
     key = jax.random.PRNGKey(1)
@@ -277,6 +278,7 @@ def bench_end_to_end() -> dict:
         make_train_epoch_fn,
         run_train_epoch_scan,
     )
+    from audiobd_tpu.models import jit_init
     from audiobd_tpu.train.state import TrainState
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
@@ -322,7 +324,7 @@ def bench_end_to_end() -> dict:
     dset = DeviceDataset(data)
     model = build_attack_model(cfg)
     tx = make_optimizer(cfg)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats[:1]), train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jnp.asarray(feats[:1]))
     state = TrainState.create(variables, tx)
     epoch_fn = make_train_epoch_fn(model, tx)
     key = jax.random.PRNGKey(1)

@@ -113,6 +113,7 @@ def main():
     from audiobd_tpu.train.loop import ArraySet
     from audiobd_tpu.train.scan_epoch import DeviceDataset, make_perm, make_train_epoch_fn, pad_plan
     from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.models import jit_init
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
 
     n_clips = int(os.environ.get("B2_CLIPS", 20480))
@@ -129,7 +130,7 @@ def main():
                           compute_dtype=dtype_name, conv_impl=impl)
         model = build_attack_model(cfg)
         tx = make_optimizer(cfg)
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+        variables = jit_init(model, jax.random.PRNGKey(0), data.feats[:1])
         state = TrainState.create(variables, tx)
         epoch_fn = make_train_epoch_fn(model, tx)
         n_batches, mask = pad_plan(dset.n, batch)

@@ -38,6 +38,7 @@ def main():
         DeviceDataset, make_perm, make_train_epoch_fn, pad_plan,
     )
     from audiobd_tpu.train.state import TrainState
+    from audiobd_tpu.models import jit_init
     from audiobd_tpu.train.trainer import build_attack_model, make_optimizer
     from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -55,7 +56,7 @@ def main():
         (rng.random(N_CLIPS) < 0.1).astype(np.int64),
     )
     dset = DeviceDataset(data)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(data.feats[:1]), train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), data.feats[:1])
     state = TrainState.create(variables, tx)
     epoch_fn = make_train_epoch_fn(model, tx)
     n_batches, mask = pad_plan(dset.n, BATCH)

@@ -177,3 +177,22 @@ def test_smallcnn_im2col_parity():
     yb, sb = b.apply(vb, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
                      mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("model_name", ["smallcnn", "smalllstm"])
+def test_jit_init_matches_eager_init(model_name):
+    # jit_init (one compiled program; kills the ~40-op eager avalanche over
+    # the axon tunnel) must be bit-identical to eager model.init, or seeds
+    # and checkpoint anchors silently shift.
+    from audiobd_tpu.models import jit_init
+
+    feats = linear_features_for("jingleback", model_name)
+    model = build_model(model_name, num_classes=10, feature_size=feats, n_mfcc=40)
+    x = np.zeros((1, 1, 101, 40), np.float32)
+    eager = model.init(jax.random.PRNGKey(7), jnp.asarray(x), train=False)
+    jitted = jit_init(model, jax.random.PRNGKey(7), x)
+    flat_e = jax.tree_util.tree_leaves_with_path(eager)
+    flat_j = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(jitted)}
+    assert len(flat_e) == len(flat_j)
+    for k, v in flat_e:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_j[jax.tree_util.keystr(k)]))
