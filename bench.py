@@ -397,7 +397,7 @@ def bench_torch_reference() -> float:
     return clips
 
 
-def _replay_last_capture() -> bool:
+def _replay_last_capture(candidates=None) -> bool:
     """Backend-down fallback: replay a REAL bench JSON the recovery campaign
     captured earlier this round, instead of exiting with no artifact at all.
 
@@ -409,10 +409,11 @@ def _replay_last_capture() -> bool:
     exit 1."""
     import re
 
-    candidates = [
-        os.path.join(os.environ.get("LOGDIR", "/tmp/r4_campaign"), "bench.log"),
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "CAMPAIGN_r4.md"),
-    ]
+    if candidates is None:
+        candidates = [
+            os.path.join(os.environ.get("LOGDIR", "/tmp/r4_campaign"), "bench.log"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "CAMPAIGN_r4.md"),
+        ]
     for path in candidates:
         try:
             with open(path) as f:
