@@ -339,7 +339,10 @@ def poison(cfg: AttackConfig, clean: CleanData, save: bool = True,
     return DabaPoisoned(
         bd_train=ArraySet(bd_train_mfcc_dev, bd_train_label, ind_train),
         bd_test=ArraySet(bd_test_mfcc_dev, bd_test_label, ind_test),
-        clean_test=ArraySet(clean.test_mfcc, clean.test_label),
+        clean_test=ArraySet(
+            clean.test_mfcc_dev if clean.test_mfcc_dev is not None else clean.test_mfcc,
+            clean.test_label,
+        ),
         trigger=trigger,
         trigger_index=trig_idx,
     )
