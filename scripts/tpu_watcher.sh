@@ -32,11 +32,26 @@ while true; do
   # A wedged tunnel hangs `import jax` inside the axon sitecustomize —
   # probe in a killable subprocess, never in this shell's own python.
   if timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+    rm -f "$LOGDIR/down_since" "$LOGDIR/last_heartbeat"
     echo "[$(stamp)] tunnel up — running campaign"
     # flock: only one campaign can ever run, even with a rogue second watcher
     flock -n "$LOGDIR/campaign.lock" \
       bash /root/repo/scripts/r4_tpu_campaign.sh >> "$LOGDIR/campaign_runs.log" 2>&1
     echo "[$(stamp)] campaign run finished (rc=$?)"
+  else
+    # Outage probe trail: while the tunnel is down, append one heartbeat row
+    # to the committed campaign report every ~6 h so continued probing is
+    # auditable (the alternative is a single WAITING row that could equally
+    # mean the watcher died an hour after boot).
+    now=$(date +%s)
+    [ -f "$LOGDIR/down_since" ] || echo "$now" > "$LOGDIR/down_since"
+    last=0; [ -f "$LOGDIR/last_heartbeat" ] && last=$(cat "$LOGDIR/last_heartbeat")
+    if [ $((now - last)) -ge 21600 ] && [ -f /root/repo/CAMPAIGN_r4.md ]; then
+      echo "$now" > "$LOGDIR/last_heartbeat"
+      since=$(date -d "@$(cat "$LOGDIR/down_since")" "+%Y-%m-%d %H:%M" 2>/dev/null || echo "?")
+      echo "| $(stamp) | (watcher) | OUTAGE | - | tunnel still down (probed every 60 s since $since); campaign fires on recovery |" \
+        >> /root/repo/CAMPAIGN_r4.md
+    fi
   fi
   sleep 60
 done
