@@ -32,10 +32,16 @@ import time
 
 import numpy as np
 
-BATCH = 256
+# BENCH_SMOKE=1: tiny-shape dress rehearsal of every row's code path (CPU
+# deflake for the campaign's bench stage). Output is labeled smoke and is
+# never replayable as evidence — real captures always run full shapes.
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+BATCH = 32 if SMOKE else 256
 SHAPE = (BATCH, 1, 101, 40)
-N_CLIPS = 20480  # a Speech-Commands-scale poisoned train split
-TIMED_EPOCHS = 3
+N_CLIPS = 256 if SMOKE else 20480  # a Speech-Commands-scale poisoned train split
+TIMED_EPOCHS = 1 if SMOKE else 3
+MFCC_BATCH = 16 if SMOKE else 512
+MFCC_ITERS = 2 if SMOKE else 20
 # v5e: 197 bf16 TFLOP/s per chip; override for other generations.
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 
@@ -223,29 +229,30 @@ def bench_mfcc() -> dict:
     from audiobd_tpu.dsp.mfcc import MFCCParams, mfcc_features
 
     params = MFCCParams(sample_rate=16000, n_mfcc=40, n_fft=400, hop_length=160)
-    wavs = jnp.asarray(np.random.default_rng(2).standard_normal((512, 16000)).astype(np.float32))
+    wavs = jnp.asarray(
+        np.random.default_rng(2).standard_normal((MFCC_BATCH, 16000)).astype(np.float32)
+    )
 
     def timed(fn):
         out = fn(wavs)
         jax.device_get(out[:1, ..., :1, :1])  # force
         t0 = time.perf_counter()
-        iters = 20
-        for _ in range(iters):
+        for _ in range(MFCC_ITERS):
             out = fn(wavs)
         jax.device_get(out[:1, ..., :1, :1])
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / MFCC_ITERS
 
     xla = jax.jit(lambda w: mfcc_features(w, params))
     t_xla = timed(xla)
     result = {"xla_ms": round(t_xla * 1e3, 3),
-              "xla_clips_per_sec": round(512 / t_xla, 1)}
+              "xla_clips_per_sec": round(MFCC_BATCH / t_xla, 1)}
     try:
         from audiobd_tpu.ops.pallas_mfcc import fused_mfcc_features
 
         pallas = jax.jit(lambda w: fused_mfcc_features(w, params))
         t_pal = timed(pallas)
         result["pallas_ms"] = round(t_pal * 1e3, 3)
-        result["pallas_clips_per_sec"] = round(512 / t_pal, 1)
+        result["pallas_clips_per_sec"] = round(MFCC_BATCH / t_pal, 1)
         result["pallas_speedup"] = round(t_xla / t_pal, 3)
     except Exception as e:
         log(f"pallas mfcc bench failed: {e}")
@@ -294,7 +301,7 @@ def bench_end_to_end() -> dict:
     wavs = (rng.standard_normal((N_CLIPS, 16000)) * 3276.7).astype(np.int16)
     labels = rng.integers(0, 10, N_CLIPS).astype(np.int64)
     indicators = (rng.random(N_CLIPS) < 0.1).astype(np.int64)
-    chunk = int(os.environ.get("BENCH_PREP_CHUNK", 2048))
+    chunk = int(os.environ.get("BENCH_PREP_CHUNK", 128 if SMOKE else 2048))
 
     # ingest: dispatch async, then compile the exact full-shape prep program
     # on device zeros while the transfer streams; force afterwards.
@@ -433,6 +440,8 @@ def _replay_last_capture(candidates=None) -> bool:
             continue
         if not isinstance(payload.get("value"), (int, float)):
             continue
+        if isinstance(payload.get("detail"), dict) and payload["detail"].get("smoke"):
+            continue  # a BENCH_SMOKE rehearsal is not evidence
         payload.setdefault("detail", {})["replayed_capture"] = {
             "source": path,
             "reason": "axon backend unavailable at driver bench time; this is "
@@ -492,13 +501,23 @@ def _clear_bench_pid():
 
 
 def main():
-    if not _wait_for_backend():
+    # AUDIOBD_PLATFORM pins the backend like the CLI dispatcher does
+    # (audiobd_tpu/__main__.py) — the only way to exercise bench code while
+    # the axon tunnel is wedged. Skips the tunnel wait: the pinned backend
+    # is local.
+    if os.environ.get("AUDIOBD_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+    elif not _wait_for_backend():
         _rearm_watcher()  # the watcher captures the campaign when it returns
         if _replay_last_capture():
             sys.exit(0)
         log("backend never came up and no prior capture exists — aborting")
         sys.exit(1)
-    if not os.environ.get("AUDIOBD_NO_WATCHER"):  # campaign's own bench entry keeps its lock
+    # campaign's own bench entry keeps its lock; a SMOKE rehearsal is
+    # side-effect-free (no preemption, no pidfile, no watcher re-arm)
+    if not os.environ.get("AUDIOBD_NO_WATCHER") and not SMOKE:
         _preempt_campaign()
         import atexit
 
@@ -513,6 +532,9 @@ def main():
     enable_compilation_cache("auto")
     log(f"devices: {jax.devices()}")
     detail: dict = {"workloads": {}}
+    if SMOKE:
+        detail["smoke"] = True  # tiny shapes — never quote as a measurement
+        log(f"BENCH_SMOKE: tiny shapes (batch {BATCH}, {N_CLIPS} clips) — rehearsal only")
     grid = [
         ("smallcnn", "float32"),
         ("smallcnn", "bfloat16"),
@@ -524,8 +546,18 @@ def main():
         ("lstmwithattention", "bfloat16"),
         ("rnn", "bfloat16"),
     ]
+    # BENCH_ONLY: comma-separated substrings selecting rows to run (matching
+    # against workload names / "ensemble" / "mfcc" / "e2e" / "torch").
+    # Rehearsal + debugging aid — real captures run everything (unset).
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+
+    def _selected(row_name: str) -> bool:
+        return not only or any(s in row_name for s in only)
+
     headline = None
     for name, dtype in grid:
+        if not _selected(f"{name}_{dtype}"):
+            continue
         try:
             res = bench_workload(name, dtype)
             detail["workloads"][f"{name}_{dtype}"] = res
@@ -533,24 +565,28 @@ def main():
                 headline = res["clips_per_sec"]
         except Exception as e:
             log(f"workload {name}/{dtype} failed: {e}")
-    try:
-        detail["workloads"]["ensemble_smallcnn_x8_bfloat16"] = bench_ensemble("smallcnn", "bfloat16", k=8)
-    except Exception as e:
-        log(f"ensemble workload failed: {e}")
-    try:
-        detail["mfcc_front_end"] = bench_mfcc()
-    except Exception as e:
-        log(f"mfcc bench failed: {e}")
-    try:
-        detail["end_to_end_badnets_smallcnn_bf16"] = bench_end_to_end()
-    except Exception as e:
-        log(f"end-to-end bench failed: {e}")
-    try:
-        ref = bench_torch_reference()
-        detail["torch_cpu_smallcnn_f32"] = round(ref, 1)
-    except Exception as e:
-        log(f"torch baseline failed: {e}")
-        ref = None
+    if _selected("ensemble"):
+        try:
+            detail["workloads"]["ensemble_smallcnn_x8_bfloat16"] = bench_ensemble("smallcnn", "bfloat16", k=8)
+        except Exception as e:
+            log(f"ensemble workload failed: {e}")
+    if _selected("mfcc"):
+        try:
+            detail["mfcc_front_end"] = bench_mfcc()
+        except Exception as e:
+            log(f"mfcc bench failed: {e}")
+    if _selected("e2e"):
+        try:
+            detail["end_to_end_badnets_smallcnn_bf16"] = bench_end_to_end()
+        except Exception as e:
+            log(f"end-to-end bench failed: {e}")
+    ref = None
+    if _selected("torch"):
+        try:
+            ref = bench_torch_reference()
+            detail["torch_cpu_smallcnn_f32"] = round(ref, 1)
+        except Exception as e:
+            log(f"torch baseline failed: {e}")
     vs = round(headline / ref, 2) if (headline and ref) else None
     print(
         json.dumps(
@@ -563,7 +599,8 @@ def main():
             }
         )
     )
-    _rearm_watcher()
+    if not SMOKE:
+        _rearm_watcher()
 
 
 if __name__ == "__main__":

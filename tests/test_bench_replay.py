@@ -73,6 +73,29 @@ def test_non_numeric_value_refuses(tmp_path, capsys):
     assert out == ""
 
 
+def test_smoke_capture_refuses(tmp_path, capsys):
+    # A BENCH_SMOKE rehearsal (tiny shapes, detail.smoke=true) must never be
+    # replayed as evidence — fall through to later candidates or refuse.
+    log = tmp_path / "bench.log"
+    smoke = dict(GOOD, detail={"smoke": True, "workloads": {}})
+    log.write_text(json.dumps(smoke) + "\n")
+    ok, out = _run(capsys, [str(log)])
+    assert not ok
+    assert out == ""
+
+
+def test_smoke_skipped_but_real_capture_used(tmp_path, capsys):
+    smoke_log = tmp_path / "bench.log"
+    smoke_log.write_text(json.dumps(dict(GOOD, detail={"smoke": True})) + "\n")
+    real = tmp_path / "CAMPAIGN.md"
+    real.write_text(f"| x | bench_json | OK | - | `{json.dumps(GOOD)}` |\n")
+    ok, out = _run(capsys, [str(smoke_log), str(real)])
+    assert ok
+    payload = json.loads(out)
+    assert payload["value"] == GOOD["value"]
+    assert payload["detail"]["replayed_capture"]["source"] == str(real)
+
+
 def test_prefers_first_candidate(tmp_path, capsys):
     first = tmp_path / "bench.log"
     second = tmp_path / "CAMPAIGN.md"
