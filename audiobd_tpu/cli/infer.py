@@ -4,7 +4,12 @@ Beyond-reference serving convenience (the reference repo stops at training —
 its nine scripts have no way to USE a trained model):
 
     python -m audiobd_tpu infer --result badnets_smallcnn --wav a.wav b.wav
+    python -m audiobd_tpu infer --result badnets_smallcnn --wav clips_dir/ --json
     python -m audiobd_tpu infer --result badnets_smallcnn --eval_clean
+
+``--wav`` entries may be directories (recursively expanded to their .wav
+files, sorted); ``--json`` switches to one JSON object per line for
+scripting/serving pipelines.
 
 Loads ``record/<result>/checkpoint``, rebuilds the model from its saved spec
 (the spec's attack name fixes the MFCC front-end preset, so clips are
@@ -25,7 +30,10 @@ import numpy as np
 def parse_arguments():
     parser = argparse.ArgumentParser(description="Classify wav clips with a trained checkpoint")
     parser.add_argument("--result", type=str, required=True, help="record/<result> of the training run")
-    parser.add_argument("--wav", type=str, nargs="*", default=None, help="wav files to classify")
+    parser.add_argument("--wav", type=str, nargs="*", default=None,
+                        help="wav files (or directories, expanded recursively) to classify")
+    parser.add_argument("--json", action="store_true",
+                        help="machine-readable output: one JSON object per clip (or per eval)")
     parser.add_argument("--eval_clean", action="store_true",
                         help="score the run's cached clean test split instead")
     parser.add_argument("--top_k", type=int, default=3)
@@ -55,6 +63,21 @@ def _load(result: str, dataset: str | None):
     cfg = make_config(spec["attack"], **kw)
     model, variables, _ = load_bd_model(cfg)
     return cfg, model, variables
+
+
+def _expand_wavs(entries: list[str]) -> list[str]:
+    """--wav entries → concrete file list; directories recurse (sorted for
+    stable output and stable wrap-pad bucketing across reruns)."""
+    out: list[str] = []
+    for e in entries:
+        if os.path.isdir(e):
+            hits = []
+            for root, _, files in os.walk(e):
+                hits.extend(os.path.join(root, f) for f in files if f.lower().endswith(".wav"))
+            out.extend(sorted(hits))
+        else:
+            out.append(e)
+    return out
 
 
 def _featurize_files(cfg, paths: list[str]):
@@ -122,19 +145,35 @@ def main():
         ev = run_eval(make_eval_step(model), state,
                       ArraySet(clean.test_mfcc, clean.test_label),
                       args.batch_size or cfg.train.batch_size)
-        print(f"clean test: acc {ev['acc']:.2f}  loss {ev['loss']:.4f} "
-              f"({len(clean.test_label)} clips)")
+        if args.json:
+            print(json.dumps({"clean_test_acc": round(float(ev["acc"]), 4),
+                              "clean_test_loss": round(float(ev["loss"]), 6),
+                              "n_clips": int(len(clean.test_label))}))
+        else:
+            print(f"clean test: acc {ev['acc']:.2f}  loss {ev['loss']:.4f} "
+                  f"({len(clean.test_label)} clips)")
         return ev
 
     if not args.wav:
         raise SystemExit("nothing to do: pass --wav files or --eval_clean")
-    feats, n = _featurize_files(cfg, args.wav)
+    paths = _expand_wavs(args.wav)
+    if not paths:
+        raise SystemExit(f"no .wav files found under {args.wav}")
+    feats, n = _featurize_files(cfg, paths)
     probs = np.asarray(probs_fn(feats))[:n]
     k = min(args.top_k, probs.shape[-1])
-    for path, row in zip(args.wav, probs):
+    for path, row in zip(paths, probs):
         top = np.argsort(row)[::-1][:k]
-        ranked = ", ".join(f"{labels[i] if i < len(labels) else i}={row[i]:.3f}" for i in top)
-        print(f"{path}: {ranked}")
+        if args.json:
+            print(json.dumps({
+                "path": path,
+                "label": labels[top[0]] if top[0] < len(labels) else int(top[0]),
+                "top": [{"label": labels[i] if i < len(labels) else int(i),
+                         "prob": round(float(row[i]), 6)} for i in top],
+            }))
+        else:
+            ranked = ", ".join(f"{labels[i] if i < len(labels) else i}={row[i]:.3f}" for i in top)
+            print(f"{path}: {ranked}")
     return probs
 
 
