@@ -337,6 +337,43 @@ def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     )
 
 
+def conv_bn_pool_block2(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNorm",
+                        x: jax.Array, train: bool, dtype, fused: bool) -> jax.Array:
+    """Second smallcnn/smalllstm block: maxpool_{2,2,pad 1}(BN(relu(conv2x2(x)))).
+
+    With ``fused`` the TRAIN path routes through
+    ops/fused_conv_block2.conv2_bn_pool — stock XLA forward, Pallas backward —
+    with the same param-tree trick as conv_bn_pool_block1 (dummy submodule
+    invocations declare the identical flax params; running stats update via
+    the two-sample crafted input). Eval calls always take the unfused chain
+    (the fused op is train-only), and unlike block1 the fused train path
+    ALWAYS provides input gradients — block1 sits below and consumes dx.
+    """
+    if not fused or not train or x.shape[1] < 2 or x.shape[2] < 2:
+        y = nn.relu(conv(x))
+        y = bn(y, train)
+        return max_pool_torch(y, (2, 2), padding=(1, 1))
+    from audiobd_tpu.ops.fused_conv_block2 import conv2_bn_pool
+
+    features = conv.features
+    cin = x.shape[-1]
+    _ = conv(jnp.zeros((1, 2, 2, cin), x.dtype))  # declare kernel/bias only
+    _ = bn(jnp.zeros((1, 1, 2, features), jnp.float32), False)  # declare γ/β/stats
+    params = parent.variables["params"]
+    w = params[conv.name]["Conv_0"]["kernel"]
+    b = params[conv.name]["Conv_0"]["bias"]
+    gamma = params[bn.name]["BatchNorm_0"]["scale"]
+    beta = params[bn.name]["BatchNorm_0"]["bias"]
+    dt = dtype or x.dtype
+    out, mu, var = conv2_bn_pool(x, w, b, gamma, beta, compute_dtype=dt)
+    # Two samples at μ ± σ have batch mean μ and (fast-)variance σ² exactly —
+    # flax BatchNorm then applies its own running update.
+    s = jnp.sqrt(jnp.maximum(var, 0.0))
+    stat_x = jnp.stack([mu - s, mu + s], axis=0).reshape(1, 1, 2, features)
+    _ = bn(jax.lax.stop_gradient(stat_x), True)
+    return out
+
+
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 2, 3, 1))
 

@@ -26,6 +26,7 @@ from audiobd_tpu.models.layers import (
     TorchDense,
     avg_pool_torch,
     conv_bn_pool_block1,
+    conv_bn_pool_block2,
     flatten_nhwc_as_torch,
     max_pool_torch,
     nchw_to_nhwc,
@@ -50,6 +51,9 @@ class SmallCNN(nn.Module):
     fused_input_grad: bool = False
     bn_axis: str | None = None  # sync-BN mesh axis (sharded scan epochs)
     conv_impl: str = "lax"  # "im2col": blocks 2-3 as taps-matmuls (same params)
+    # Pallas-backward second block (ops/fused_conv_block2); train-mode only,
+    # measurement-gated default off (campaign block2_shootout decides).
+    fused_block2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,9 +64,11 @@ class SmallCNN(nn.Module):
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
             input_grad=self.fused_input_grad,
         )
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
-        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
-        x = max_pool_torch(x, (2, 2), padding=(1, 1))
+        x = conv_bn_pool_block2(
+            self, TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block2 and self.bn_axis is None,
+        )
         x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
@@ -118,6 +124,7 @@ class SmallLSTM(nn.Module):
     fused_input_grad: bool = False  # see SmallCNN.fused_input_grad
     bn_axis: str | None = None
     conv_impl: str = "lax"  # see SmallCNN.conv_impl
+    fused_block2: bool = False  # see SmallCNN.fused_block2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,9 +135,11 @@ class SmallLSTM(nn.Module):
             x, train, self.dtype, self.fused_block1 and self.bn_axis is None,
             input_grad=self.fused_input_grad,
         )
-        x = nn.relu(TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
-        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
-        x = max_pool_torch(x, (2, 2), padding=(1, 1))
+        x = conv_bn_pool_block2(
+            self, TorchConv(64, (2, 2), dtype=self.dtype, impl=self.conv_impl),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block2 and self.bn_axis is None,
+        )
         x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = max_pool_torch(x, (2, 2), padding=(0, 1))
@@ -267,7 +276,7 @@ MODEL_REGISTRY = {
 
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
                 dtype=None, fused: bool = False, fused_input_grad: bool = False,
-                conv_impl: str = "lax"):
+                conv_impl: str = "lax", fused_block2: bool = False):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
@@ -280,13 +289,13 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
     if name == "smallcnn":
         return SmallCNN(num_classes=num_classes, linear_features=feature_size,
                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
-                        conv_impl=conv_impl)
+                        conv_impl=conv_impl, fused_block2=fused_block2)
     if name in ("largecnn", "resnet"):
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
         return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
                          dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
-                         conv_impl=conv_impl)
+                         conv_impl=conv_impl, fused_block2=fused_block2)
     if name == "lstmwithattention":
         assert n_mfcc is not None
         return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)

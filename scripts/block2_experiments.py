@@ -101,11 +101,29 @@ def main():
                      "fwd_ms": round(t_f * 1e3, 3), "fwd_bwd_ms": round(t_g * 1e3, 3)})
         print(json.dumps(rows[-1]), flush=True)
 
+    # isolated-block Pallas-backward arm (ops/fused_conv_block2): stock XLA
+    # forward + fused gradient. Same math as the lax arm.
+    from audiobd_tpu.ops.fused_conv_block2 import conv2_bn_pool
+
+    fwd_p = jax.jit(lambda k, b: conv2_bn_pool(x, k, b, g, be, compute_dtype=DTYPE)[0])
+    t_f = timed(fwd_p, k, b)
+
+    def loss_p(params):
+        out, _, _ = conv2_bn_pool(x, params[0], params[1], g, be, compute_dtype=DTYPE)
+        return jnp.sum(out.astype(jnp.float32))
+
+    t_g = timed(jax.jit(jax.grad(loss_p)), (k, b))
+    rows.append({"formulation": "pallas_bwd", "dtype": rows[-1]["dtype"],
+                 "fwd_ms": round(t_f * 1e3, 3), "fwd_bwd_ms": round(t_g * 1e3, 3)})
+    print(json.dumps(rows[-1]), flush=True)
+
     # equality check (same math, different lowering)
     a = jax.jit(lambda: block(conv_lax, x, k, b, g, be))()
     c = jax.jit(lambda: block(conv_im2col, x, k, b, g, be))()
+    p_out = fwd_p(k, b)
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - c.astype(jnp.float32))))
-    print(json.dumps({"max_abs_diff": err}), flush=True)
+    err_p = float(jnp.max(jnp.abs(a.astype(jnp.float32) - p_out.astype(jnp.float32))))
+    print(json.dumps({"max_abs_diff": err, "max_abs_diff_pallas": err_p}), flush=True)
 
     # decision-grade: the FULL smallcnn train epoch under each lowering
     # (bench-identical shapes; models.TorchConv impl threaded via config)
@@ -125,9 +143,10 @@ def main():
     )
     dset = DeviceDataset(data)
     dtype_name = "bfloat16" if DTYPE == jnp.bfloat16 else "float32"
-    for impl in ("lax", "im2col"):
+    for impl, extra in (("lax", {}), ("im2col", {"conv_impl": "im2col"}),
+                        ("lax+fused_block2", {"fused_block2": "on"})):
         cfg = make_config("badnets", model="smallcnn", batch_size=batch,
-                          compute_dtype=dtype_name, conv_impl=impl)
+                          compute_dtype=dtype_name, **extra)
         model = build_attack_model(cfg)
         tx = make_optimizer(cfg)
         variables = jit_init(model, jax.random.PRNGKey(0), data.feats[:1])
