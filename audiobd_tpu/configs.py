@@ -103,11 +103,12 @@ class TrainConfig:
     # "auto" currently = "lax"; flipped per-backend once the campaign's
     # block2_shootout measures a win (VERDICT r3 item 6).
     conv_impl: str = "auto"
-    # Second smallcnn/smalllstm conv block via the Pallas-backward fused op
-    # (ops/fused_conv_block2; train-mode only, identical params + forward).
-    # "auto" currently = off — measurement-gated: the campaign's
-    # block2_shootout stage times it against lax/im2col before any flip.
+    # Second/third smallcnn/smalllstm conv blocks via the Pallas-backward
+    # fused op (ops/fused_conv_block2; train-mode only, identical params +
+    # forward). "auto" currently = off — measurement-gated: the campaign's
+    # block2_shootout stage times them against lax/im2col before any flip.
     fused_block2: str = "auto"
+    fused_block3: str = "auto"
     # Multi-chip pure-DP epochs as one shard_map'd scan per epoch (dataset
     # row-sharded, psum'd grads/metrics, sync-BN) instead of the per-batch
     # GSPMD path. "auto" = on for real multi-chip TPU meshes; off on the
@@ -308,6 +309,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--fused_block2", type=str, default=None, choices=["auto", "on", "off"],
         help="Pallas-backward second conv block (TrainConfig.fused_block2)",
+    )
+    parser.add_argument(
+        "--fused_block3", type=str, default=None, choices=["auto", "on", "off"],
+        help="Pallas-backward third conv block (TrainConfig.fused_block3)",
     )
 
 

@@ -338,8 +338,11 @@ def conv_bn_pool_block1(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
 
 
 def conv_bn_pool_block2(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNorm",
-                        x: jax.Array, train: bool, dtype, fused: bool) -> jax.Array:
-    """Second smallcnn/smalllstm block: maxpool_{2,2,pad 1}(BN(relu(conv2x2(x)))).
+                        x: jax.Array, train: bool, dtype, fused: bool,
+                        pool_padding: tuple[int, int] = (1, 1)) -> jax.Array:
+    """Second/third smallcnn/smalllstm block:
+    maxpool_{2,2,pad pool_padding}(BN(relu(conv2x2(x)))) — block 2 uses
+    pool padding (1, 1), block 3 uses (0, 1).
 
     With ``fused`` the TRAIN path routes through
     ops/fused_conv_block2.conv2_bn_pool — stock XLA forward, Pallas backward —
@@ -347,12 +350,12 @@ def conv_bn_pool_block2(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     invocations declare the identical flax params; running stats update via
     the two-sample crafted input). Eval calls always take the unfused chain
     (the fused op is train-only), and unlike block1 the fused train path
-    ALWAYS provides input gradients — block1 sits below and consumes dx.
+    ALWAYS provides input gradients — the blocks below consume dx.
     """
     if not fused or not train or x.shape[1] < 2 or x.shape[2] < 2:
         y = nn.relu(conv(x))
         y = bn(y, train)
-        return max_pool_torch(y, (2, 2), padding=(1, 1))
+        return max_pool_torch(y, (2, 2), padding=pool_padding)
     from audiobd_tpu.ops.fused_conv_block2 import conv2_bn_pool
 
     features = conv.features
@@ -365,7 +368,9 @@ def conv_bn_pool_block2(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     gamma = params[bn.name]["BatchNorm_0"]["scale"]
     beta = params[bn.name]["BatchNorm_0"]["bias"]
     dt = dtype or x.dtype
-    out, mu, var = conv2_bn_pool(x, w, b, gamma, beta, compute_dtype=dt)
+    out, mu, var = conv2_bn_pool(
+        x, w, b, gamma, beta, pool_padding=pool_padding, compute_dtype=dt
+    )
     # Two samples at μ ± σ have batch mean μ and (fast-)variance σ² exactly —
     # flax BatchNorm then applies its own running update.
     s = jnp.sqrt(jnp.maximum(var, 0.0))

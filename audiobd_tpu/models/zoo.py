@@ -51,9 +51,10 @@ class SmallCNN(nn.Module):
     fused_input_grad: bool = False
     bn_axis: str | None = None  # sync-BN mesh axis (sharded scan epochs)
     conv_impl: str = "lax"  # "im2col": blocks 2-3 as taps-matmuls (same params)
-    # Pallas-backward second block (ops/fused_conv_block2); train-mode only,
+    # Pallas-backward blocks 2/3 (ops/fused_conv_block2); train-mode only,
     # measurement-gated default off (campaign block2_shootout decides).
     fused_block2: bool = False
+    fused_block3: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -69,9 +70,12 @@ class SmallCNN(nn.Module):
             TorchBatchNorm(axis_name=self.bn_axis),
             x, train, self.dtype, self.fused_block2 and self.bn_axis is None,
         )
-        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
-        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
-        x = max_pool_torch(x, (2, 2), padding=(0, 1))
+        x = conv_bn_pool_block2(
+            self, TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block3 and self.bn_axis is None,
+            pool_padding=(0, 1),
+        )
         x = nn.Dropout(0.4, deterministic=not train)(x)
         x = flatten_nhwc_as_torch(x)
         assert x.shape[-1] == self.linear_features, (
@@ -125,6 +129,7 @@ class SmallLSTM(nn.Module):
     bn_axis: str | None = None
     conv_impl: str = "lax"  # see SmallCNN.conv_impl
     fused_block2: bool = False  # see SmallCNN.fused_block2
+    fused_block3: bool = False  # see SmallCNN.fused_block3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,9 +145,12 @@ class SmallLSTM(nn.Module):
             TorchBatchNorm(axis_name=self.bn_axis),
             x, train, self.dtype, self.fused_block2 and self.bn_axis is None,
         )
-        x = nn.relu(TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl)(x))
-        x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
-        x = max_pool_torch(x, (2, 2), padding=(0, 1))
+        x = conv_bn_pool_block2(
+            self, TorchConv(32, (2, 2), dtype=self.dtype, impl=self.conv_impl),
+            TorchBatchNorm(axis_name=self.bn_axis),
+            x, train, self.dtype, self.fused_block3 and self.bn_axis is None,
+            pool_padding=(0, 1),
+        )
         x = nn.Dropout(0.4, deterministic=not train)(x)
         # NHWC (B,H,W,C) → (B, H, W*C): torch does permute(0,2,3,1).reshape,
         # i.e. (B, H, W, C) flattened over (W, C) — identical ordering.
@@ -276,7 +284,8 @@ MODEL_REGISTRY = {
 
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
                 dtype=None, fused: bool = False, fused_input_grad: bool = False,
-                conv_impl: str = "lax", fused_block2: bool = False):
+                conv_impl: str = "lax", fused_block2: bool = False,
+                fused_block3: bool = False):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
@@ -289,13 +298,15 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
     if name == "smallcnn":
         return SmallCNN(num_classes=num_classes, linear_features=feature_size,
                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
-                        conv_impl=conv_impl, fused_block2=fused_block2)
+                        conv_impl=conv_impl, fused_block2=fused_block2,
+                        fused_block3=fused_block3)
     if name in ("largecnn", "resnet"):
         return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
     if name == "smalllstm":
         return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
                          dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
-                         conv_impl=conv_impl, fused_block2=fused_block2)
+                         conv_impl=conv_impl, fused_block2=fused_block2,
+                         fused_block3=fused_block3)
     if name == "lstmwithattention":
         assert n_mfcc is not None
         return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)

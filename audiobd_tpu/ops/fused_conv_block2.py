@@ -52,39 +52,50 @@ from audiobd_tpu.ops.fused_conv_block import _auto_interpret, _pick_tn
 _EPS = 1e-5
 
 
-def _pool_dims(h: int, w: int) -> tuple[int, int, int, int]:
-    """Conv-grid (hp, wp) and pooled (ho, wo) extents for the 2x2/s2/pad-1
-    floor-mode pool: out = floor((n + 2 - 2)/2) + 1 = n//2 + 1."""
+def _pool_dims(h: int, w: int, pool_pad: tuple[int, int]):
+    """Conv-grid (hp, wp), pooled (ho, wo) and covering (hc, wc) extents for
+    the 2x2/stride-2 floor-mode pool with per-axis padding ∈ {0, 1}.
+
+    Window io covers conv-grid rows {2io - ph, 2io + 1 - ph}; floor mode
+    (out = (n + 2·pad - 2)//2 + 1) can leave the LAST row/col of the conv
+    grid outside every window (block3: pad_h = 0, odd hp). Those dropped
+    positions still feed BN statistics and the dense mean terms of the
+    backward, so the phase grid is sized by the covering extent
+    hc = max(ho, ceil((hp + ph)/2)) and the pooled cotangent is zero-extended
+    over the outputless windows (dz = 0 there; dwB/dwC still accumulate)."""
+    ph, pw = pool_pad
     hp, wp = h - 1, w - 1
-    return hp, wp, hp // 2 + 1, wp // 2 + 1
+    ho, wo = (hp + 2 * ph - 2) // 2 + 1, (wp + 2 * pw - 2) // 2 + 1
+    hc, wc = max(ho, -(-(hp + ph) // 2)), max(wo, -(-(wp + pw) // 2))
+    return hp, wp, ho, wo, hc, wc
 
 
 # ---------------------------------------------------------------------------
 # patch building (plain JAX; linear, so jax.vjp of it reconstructs dx)
 
 
-def _phase_patches2(x, compute_dtype, tn):
+def _phase_patches2(x, compute_dtype, tn, pool_pad):
     """(B, H, W, Cin) → zero-padded (4K, Mp) phase patches, K = 4·Cin+1.
 
-    Rows t·K+k: phase t = 2a+b for window slot (row 2io-1+a, col 2jo-1+b),
+    Rows t·K+k: phase t = 2a+b for window slot (row 2io-ph+a, col 2jo-pw+b),
     tap k = 4 conv shifts × Cin channels (kh·2+kw major — matching
     kernel.reshape(4·Cin, C) row order) + a ones row (bias tap). The ones
     row is built BEFORE the pool-grid padding, so padding slots get an
     all-zero column: their recomputed y (and hence r, relu') is exactly 0.
-    m indexes (b, io, jo) row-major."""
+    m indexes (b, io, jo) row-major over the COVERING grid (hc, wc)."""
     b, h, w, cin = x.shape
-    hp, wp, ho, wo = _pool_dims(h, w)
+    ph, pw = pool_pad
+    hp, wp, _, _, hc, wc = _pool_dims(h, w, pool_pad)
     x = x.astype(compute_dtype)
     taps = jnp.concatenate(
         [x[:, :-1, :-1], x[:, :-1, 1:], x[:, 1:, :-1], x[:, 1:, 1:]], axis=-1
     )  # (B, hp, wp, 4·Cin)
     pk = jnp.concatenate([taps, jnp.ones((b, hp, wp, 1), compute_dtype)], axis=-1)
-    # pool grid: rows -1..2·ho-2, cols -1..2·wo-2 (left pad 1; right overhang
-    # 2·ho-1-hp / 2·wo-1-wp — zero for odd extents, one for even)
-    pk = jnp.pad(pk, ((0, 0), (1, 2 * ho - 1 - hp), (1, 2 * wo - 1 - wp), (0, 0)))
-    pk = pk.reshape(b, ho, 2, wo, 2, -1)
-    pk = pk.transpose(2, 4, 5, 0, 1, 3)  # (a, b, K, B, ho, wo)
-    m_valid = b * ho * wo
+    # pool grid: rows -ph..2·hc-1-ph, cols -pw..2·wc-1-pw
+    pk = jnp.pad(pk, ((0, 0), (ph, 2 * hc - ph - hp), (pw, 2 * wc - pw - wp), (0, 0)))
+    pk = pk.reshape(b, hc, 2, wc, 2, -1)
+    pk = pk.transpose(2, 4, 5, 0, 1, 3)  # (a, b, K, B, hc, wc)
+    m_valid = b * hc * wc
     p = pk.reshape(4 * (4 * cin + 1), m_valid)
     tn, mp = _pick_tn(m_valid, tn)
     if mp != m_valid:
@@ -92,13 +103,14 @@ def _phase_patches2(x, compute_dtype, tn):
     return p, m_valid, tn
 
 
-def _phase_valid(b, hp, wp, ho, wo, mp):
+def _phase_valid(b, hp, wp, hc, wc, pool_pad, mp):
     """(Mp, 4) f32 plane: 1 where phase t's window slot is a real conv-grid
     position, 0 on pool padding (and on the lane-pad columns)."""
+    ph, pw = pool_pad
     v = jnp.ones((b, hp, wp), jnp.float32)
-    v = jnp.pad(v, ((0, 0), (1, 2 * ho - 1 - hp), (1, 2 * wo - 1 - wp)))
-    v = v.reshape(b, ho, 2, wo, 2).transpose(0, 1, 3, 2, 4)  # (B, ho, wo, a, b)
-    m_valid = b * ho * wo
+    v = jnp.pad(v, ((0, 0), (ph, 2 * hc - ph - hp), (pw, 2 * wc - pw - wp)))
+    v = v.reshape(b, hc, 2, wc, 2).transpose(0, 1, 3, 2, 4)  # (B, hc, wc, a, b)
+    m_valid = b * hc * wc
     v = v.reshape(m_valid, 4)
     if mp != m_valid:
         v = jnp.pad(v, ((0, mp - m_valid), (0, 0)))
@@ -270,25 +282,27 @@ def _conv_relu2(x, kernel, bias, dt):
     return jnp.maximum(y, 0).astype(jnp.float32)
 
 
-def _norm_pool2(r, gamma, beta, mu, var, dt):
+def _norm_pool2(r, gamma, beta, mu, var, dt, pool_pad):
     inv = jax.lax.rsqrt(var + _EPS)
     z = ((r - mu) * inv * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(dt)
     neg = -jnp.inf if z.dtype != jnp.bfloat16 else jnp.bfloat16(-jnp.inf)
-    # Same lowering as models/layers.py::max_pool_torch window (2,2) pad (1,1)
+    # Same lowering as models/layers.py::max_pool_torch window (2,2) pad pool_pad
     # (symmetric -inf pad + VALID reduce_window, floor mode drops overhang):
     # gradient routing is owned by the Pallas backward anyway.
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    ph, pw = pool_pad
+    if ph or pw:
+        z = jnp.pad(z, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg)
     out = jax.lax.reduce_window(
-        zp, neg, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        z, neg, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
     return out, inv
 
 
-def _train_forward2(x, kernel, bias, gamma, beta, dt):
+def _train_forward2(x, kernel, bias, gamma, beta, dt, pool_pad):
     r = _conv_relu2(x, kernel, bias, dt)
     mu = jnp.mean(r, axis=(0, 1, 2))
     var = jnp.mean(r * r, axis=(0, 1, 2)) - mu * mu  # flax fast variance
-    out, inv = _norm_pool2(r, gamma, beta, mu, var, dt)
+    out, inv = _norm_pool2(r, gamma, beta, mu, var, dt, pool_pad)
     return out, mu, var, inv
 
 
@@ -296,22 +310,28 @@ def _train_forward2(x, kernel, bias, gamma, beta, dt):
 # custom_vjp core
 
 
-def _bwd_common2(res, g, tn, interpret, dt_name):
+def _bwd_common2(res, g, tn, interpret, dt_name, pool_pad):
     x, w257, mu, inv, scale, shift = res
     dt = jnp.dtype(dt_name)
     c = w257.shape[1]
     b, h, wd = x.shape[0], x.shape[1], x.shape[2]
-    hp, wp, ho, wo = _pool_dims(h, wd)
-    m_valid = b * ho * wo
+    hp, wp, ho, wo, hc, wc = _pool_dims(h, wd, pool_pad)
+    m_valid = b * hc * wc
     tn, mp = _pick_tn(m_valid, tn)
     w_dt = w257.astype(dt)
 
     def build(x):
-        return _phase_patches2(x, dt, tn)[0]
+        return _phase_patches2(x, dt, tn, pool_pad)[0]
 
     p, unpatch = jax.vjp(build, x)
-    valid = _phase_valid(b, hp, wp, ho, wo, mp)
-    g2 = g.reshape(m_valid, c)
+    valid = _phase_valid(b, hp, wp, hc, wc, pool_pad, mp)
+    # Zero-extend the cotangent over floor-dropped (outputless) windows:
+    # their slots carry real activations for the dense BN mean terms but
+    # receive no pooled gradient.
+    g2 = g.reshape(b, ho, wo, c)
+    if (hc, wc) != (ho, wo):
+        g2 = jnp.pad(g2, ((0, 0), (0, hc - ho), (0, wc - wo), (0, 0)))
+    g2 = g2.reshape(m_valid, c)
     if mp != m_valid:
         g2 = jnp.pad(g2, ((0, mp - m_valid), (0, 0)))
     mu2, inv2 = mu.reshape(1, c), inv.reshape(1, c)
@@ -332,27 +352,27 @@ def _bwd_common2(res, g, tn, interpret, dt_name):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_train_core2(dt_name: str, tn: int, interpret: bool):
+def _make_train_core2(dt_name: str, tn: int, interpret: bool, pool_pad: tuple[int, int]):
     dt = jnp.dtype(dt_name)
 
     @jax.custom_vjp
     def core(x, w257, gamma, beta):
         cin = (w257.shape[0] - 1) // 4
         kernel, bias = w257[:-1].reshape(2, 2, cin, -1), w257[-1]
-        out, mu, var, _ = _train_forward2(x, kernel, bias, gamma, beta, dt)
+        out, mu, var, _ = _train_forward2(x, kernel, bias, gamma, beta, dt, pool_pad)
         return out, mu, var
 
     def fwd(x, w257, gamma, beta):
         cin = (w257.shape[0] - 1) // 4
         kernel, bias = w257[:-1].reshape(2, 2, cin, -1), w257[-1]
-        out, mu, var, inv = _train_forward2(x, kernel, bias, gamma, beta, dt)
+        out, mu, var, inv = _train_forward2(x, kernel, bias, gamma, beta, dt, pool_pad)
         scale = gamma.astype(jnp.float32) * inv
         shift = beta.astype(jnp.float32) - mu * scale
         return (out, mu, var), (x, w257, mu, inv, scale, shift)
 
     def bwd(res, cts):
         g, _, _ = cts  # μ/σ² feed only the (stop_gradient'ed) running stats
-        return _bwd_common2(res, g, tn, interpret, dt_name)
+        return _bwd_common2(res, g, tn, interpret, dt_name, pool_pad)
 
     core.defvjp(fwd, bwd)
     return core
@@ -369,22 +389,27 @@ def conv2_bn_pool(
     gamma,
     beta,
     *,
+    pool_padding: tuple[int, int] = (1, 1),
     compute_dtype=None,
     tn: int = 1024,
     interpret: bool | None = None,
 ):  # noqa: D401
-    """maxpool_{2,2,pad 1}(BN(relu(conv2x2_{Cin→C}(x)))) with a Pallas backward.
+    """maxpool_{2,2,s2,pad pool_padding}(BN(relu(conv2x2_{Cin→C}(x)))) with a
+    Pallas backward.
 
-    Train mode only (batch statistics; eval callers use the stock XLA chain).
-    x: (B, H, W, Cin) NHWC. kernel: (2, 2, Cin, C) flax conv layout. Returns
-    (out (B, (H-1)//2+1, (W-1)//2+1, C), batch_mean (C,), batch_var (C,))
-    with var biased (flax fast-variance semantics). The forward is stock XLA
-    (bit-identical to the unfused module sequence); only the gradient runs
-    through the fused kernels, and dx is always provided (block1 needs it).
+    Covers smallcnn/smalllstm block 2 (pool_padding (1,1)) AND block 3
+    (pool_padding (0,1) — torch floor mode there drops the last conv row,
+    handled by the covering-grid extension). Train mode only (batch
+    statistics; eval callers use the stock XLA chain). x: (B, H, W, Cin)
+    NHWC. kernel: (2, 2, Cin, C) flax conv layout. Returns (out, batch_mean,
+    batch_var) with var biased (flax fast-variance semantics). The forward
+    is stock XLA (bit-identical to the unfused module sequence); only the
+    gradient runs through the fused kernels, and dx is always provided
+    (the blocks below need it).
     """
     interpret = _auto_interpret(interpret)
     dt_name = jnp.dtype(compute_dtype or x.dtype).name
     cin, c = kernel.shape[2], kernel.shape[3]
     w257 = jnp.concatenate([kernel.reshape(4 * cin, c), bias.reshape(1, c)], axis=0)
-    core = _make_train_core2(dt_name, tn, interpret)
+    core = _make_train_core2(dt_name, tn, interpret, tuple(pool_padding))
     return core(x, w257, gamma, beta)

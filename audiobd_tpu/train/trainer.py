@@ -65,12 +65,12 @@ def resolve_conv_impl(cfg: AttackConfig) -> str:
     return "lax" if mode == "auto" else mode
 
 
-def resolve_fused_block2(cfg: AttackConfig) -> bool:
+def resolve_fused_block2(cfg: AttackConfig, field: str = "fused_block2") -> bool:
     """'auto' → OFF everywhere for now (measurement-gated, same policy as
     conv_impl: the campaign's block2_shootout stage times the Pallas-backward
-    second block against lax/im2col before any default flip); 'on' forces it
-    on single-chip (the custom call is not GSPMD-partitionable)."""
-    mode = getattr(cfg.train, "fused_block2", "auto")
+    second/third blocks against lax/im2col before any default flip); 'on'
+    forces it on single-chip (the custom call is not GSPMD-partitionable)."""
+    mode = getattr(cfg.train, field, "auto")
     if mode == "on":
         return jax.device_count() == 1
     return False
@@ -83,6 +83,7 @@ def build_attack_model(cfg: AttackConfig):
         cfg.model, cfg.num_classes, feats, n_mfcc=cfg.dsp.n_mfcc, dtype=dtype,
         fused=resolve_fused_conv(cfg), conv_impl=resolve_conv_impl(cfg),
         fused_block2=resolve_fused_block2(cfg),
+        fused_block3=resolve_fused_block2(cfg, "fused_block3"),
     )
 
 

@@ -144,7 +144,9 @@ def main():
     dset = DeviceDataset(data)
     dtype_name = "bfloat16" if DTYPE == jnp.bfloat16 else "float32"
     for impl, extra in (("lax", {}), ("im2col", {"conv_impl": "im2col"}),
-                        ("lax+fused_block2", {"fused_block2": "on"})):
+                        ("lax+fused_block2", {"fused_block2": "on"}),
+                        ("lax+fused_block23",
+                         {"fused_block2": "on", "fused_block3": "on"})):
         cfg = make_config("badnets", model="smallcnn", batch_size=batch,
                           compute_dtype=dtype_name, **extra)
         model = build_attack_model(cfg)

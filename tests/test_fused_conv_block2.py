@@ -29,7 +29,7 @@ def make_params(cin, c, seed=0):
     )
 
 
-def ref_block(x, kernel, bias, gamma, beta):
+def ref_block(x, kernel, bias, gamma, beta, pool_pad=(1, 1)):
     y = jax.lax.conv_general_dilated(
         x, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     ) + bias
@@ -37,7 +37,7 @@ def ref_block(x, kernel, bias, gamma, beta):
     mu = jnp.mean(r, axis=(0, 1, 2))
     var = jnp.mean(r**2, axis=(0, 1, 2)) - mu**2
     z = (r - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
-    return max_pool_torch(z, (2, 2), padding=(1, 1)), mu, var
+    return max_pool_torch(z, (2, 2), padding=pool_pad), mu, var
 
 
 def rel_err(a, b):
@@ -46,34 +46,43 @@ def rel_err(a, b):
 
 # odd/even conv-grid extents exercise both right/bottom-overhang cases of the
 # floor-mode pool; (8, 100, 13, 64) is smallcnn block2's real input shape
-# (block1 out for the badnets 101x40 features, pooled W 39//3 = 13).
-SHAPES = [(3, 12, 13, 8, 16), (2, 13, 12, 8, 8), (8, 100, 13, 64, 64)]
+# (block1 out for the badnets 101x40 features, pooled W 39//3 = 13) and
+# (8, 50, 7, 64) is block3's, where pool padding (0, 1) floor-DROPS the last
+# conv row — it still feeds BN statistics and the dense mean terms.
+CASES = [
+    ((3, 12, 13, 8, 16), (1, 1)),
+    ((2, 13, 12, 8, 8), (1, 1)),
+    ((8, 100, 13, 64, 64), (1, 1)),
+    ((3, 12, 13, 8, 16), (0, 1)),
+    ((8, 50, 7, 64, 32), (0, 1)),
+    ((2, 13, 12, 8, 8), (0, 0)),
+]
 
 
-@pytest.mark.parametrize("shape", SHAPES)
-def test_train_forward_exact(shape):
+@pytest.mark.parametrize("shape,pool_pad", CASES)
+def test_train_forward_exact(shape, pool_pad):
     b, h, w, cin, c = shape
     params = make_params(cin, c)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(b, h, w, cin)).astype(np.float32))
-    o0, m0, v0 = ref_block(x, *params)
-    o1, m1, v1 = conv2_bn_pool(x, *params)
+    o0, m0, v0 = ref_block(x, *params, pool_pad=pool_pad)
+    o1, m1, v1 = conv2_bn_pool(x, *params, pool_padding=pool_pad)
     # The forward is stock XLA — identical math, so exact equality.
     assert jnp.array_equal(o0, o1)
     assert jnp.array_equal(m0, m1) and jnp.array_equal(v0, v1)
 
 
-@pytest.mark.parametrize("shape", SHAPES[:2] + [(2, 100, 13, 64, 64)])
-def test_train_grads_match(shape):
+@pytest.mark.parametrize("shape,pool_pad", CASES[:2] + CASES[3:])
+def test_train_grads_match(shape, pool_pad):
     b, h, w, cin, c = shape
     params = make_params(cin, c, seed=3)
     x = jnp.asarray(np.random.default_rng(2).normal(size=(b, h, w, cin)).astype(np.float32))
 
     def loss_ref(args):
-        out, _, _ = ref_block(*args)
+        out, _, _ = ref_block(*args, pool_pad=pool_pad)
         return jnp.sum(jnp.tanh(out))
 
     def loss_fused(args):
-        out, _, _ = conv2_bn_pool(*args)
+        out, _, _ = conv2_bn_pool(*args, pool_padding=pool_pad)
         return jnp.sum(jnp.tanh(out))
 
     ga = jax.grad(loss_ref)((x, *params))
@@ -131,13 +140,13 @@ def test_model_eval_matches():
 
 
 def test_both_blocks_fused_together():
-    """fused_block1 + fused_block2 compose: block2's dx feeds block1's
-    parameter backward (block1 itself skips dx by default)."""
+    """fused blocks 1+2+3 compose: block3's dx feeds block2's backward,
+    block2's dx feeds block1's (block1 itself skips dx by default)."""
     x = jnp.asarray(np.random.default_rng(8).normal(size=(4, 1, 101, 40)).astype(np.float32))
     rngs = {"dropout": jax.random.PRNGKey(3)}
     m0 = SmallCNN(num_classes=10, linear_features=3072)
     m2 = SmallCNN(num_classes=10, linear_features=3072,
-                  fused_block1=True, fused_block2=True)
+                  fused_block1=True, fused_block2=True, fused_block3=True)
     v = m0.init(jax.random.PRNGKey(1), x, train=False)
 
     def loss(m, params):
