@@ -32,7 +32,9 @@ from audiobd_tpu.poison import flowmur  # noqa: E402
 from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 
 SEEDS = [35, 36, 37, 38, 39]
-OUT = os.environ.get("STUDY_OUT", "/tmp/flowmur_seed_study.jsonl")
+# Repo-resident by default: /tmp is wiped on fixture reboots, which stranded
+# the r3 study's resume state. Rows in the repo survive and get committed.
+OUT = os.environ.get("STUDY_OUT", "/root/repo/flowmur_seed_study_r4.jsonl")
 
 
 def one_run(fused: str, seed: int) -> dict:
