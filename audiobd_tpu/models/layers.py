@@ -110,7 +110,9 @@ class TorchConv(nn.Module):
     """nn.Conv2d on NHWC with torch default init and torch padding ints.
 
     ``impl="im2col"`` swaps the stride-1 lax.conv lowering for the taps
-    matmul (_TapConv) under the SAME submodule name/params."""
+    matmul (_TapConv) under the SAME submodule name/params. Measured dead
+    end on v5e (round-4 block2_shootout): im2col 57.2k clips/s vs lax
+    70.9k on the full smallcnn bf16 epoch — keep ``impl="lax"`` default."""
 
     features: int
     kernel_size: tuple[int, int]

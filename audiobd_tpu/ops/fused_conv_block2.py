@@ -17,6 +17,14 @@ change:
   4x the input — still ~7x less traffic than XLA's measured backward, but
   the block1 "15-row patch" economics don't transfer (documented in
   CLAUDE.md / VALIDATION.md; this kernel is the 'windowed patch' follow-up).
+
+**MEASURED DEAD END (round-4 block2_shootout, TPU v5e, bf16, B=256).** Do
+NOT enable by default: the full smallcnn train epoch runs 70,889 clips/s on
+stock lax.conv vs 23,640 with fused_block2 and 20,378 with fused_block2+3
+(isolated block fwd+bwd: lax 1.30 ms, pallas 5.28 ms). The 257-tap im2col
+patch stream is ~4x the activation bytes and loses to XLA's native conv
+backward on this hardware. Kept behind ``TrainConfig.fused_block2/
+fused_block3 = "on"`` for future-hardware re-evaluation only.
 * **2x2/stride-2 pool with padding 1** (torch floor mode). Window (io, jo)
   covers conv-grid rows {2io-1, 2io} × cols {2jo-1, 2jo}; rows/cols -1 and
   any right/bottom overhang are -inf padding. Each conv-grid element belongs

@@ -34,7 +34,8 @@ from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 SEEDS = [35, 36, 37, 38, 39]
 # Repo-resident by default: /tmp is wiped on fixture reboots, which stranded
 # the r3 study's resume state. Rows in the repo survive and get committed.
-OUT = os.environ.get("STUDY_OUT", "/root/repo/flowmur_seed_study_r4.jsonl")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("STUDY_OUT", os.path.join(_REPO, "flowmur_seed_study_r4.jsonl"))
 
 
 def one_run(fused: str, seed: int) -> dict:
