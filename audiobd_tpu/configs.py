@@ -93,6 +93,12 @@ class TrainConfig:
     # "float32" (reference parity, default) or "bfloat16" (mixed precision:
     # bf16 activations/matmuls, f32 params/BN-stats/loss).
     compute_dtype: str = "float32"
+    # Device-resident feature storage layout for single-device scan epochs:
+    # "nchw" (default; API layout, models transpose per step) or "nhwc"
+    # (stored (N,F,M,1) once at adoption, models skip the per-step
+    # relayout). API boundaries (ArraySet, npy contract) are NCHW either
+    # way; the per-batch and sharded engines always use NCHW storage.
+    feature_layout: str = "nchw"
     # First smallcnn/smalllstm conv block via the Pallas-backward fused op
     # (ops/fused_conv_block; identical params + forward, faster gradients).
     # "auto" = on for single-chip TPU, off elsewhere (the custom call is not

@@ -381,8 +381,13 @@ def conv_bn_pool_block2(parent: nn.Module, conv: "TorchConv", bn: "TorchBatchNor
     return out
 
 
-def nchw_to_nhwc(x: jax.Array) -> jax.Array:
-    return jnp.transpose(x, (0, 2, 3, 1))
+def nchw_to_nhwc(x: jax.Array, layout: str = "nchw") -> jax.Array:
+    """Bring API-layout features to the conv-native NHWC.
+
+    ``layout="nhwc"``: the caller stored features device-resident as
+    (B, F, M, 1) already (TrainConfig.feature_layout) — no per-step
+    relayout. The API boundary (npy contract, ArraySet) stays NCHW."""
+    return x if layout == "nhwc" else jnp.transpose(x, (0, 2, 3, 1))
 
 
 def flatten_nhwc_as_torch(x: jax.Array) -> jax.Array:

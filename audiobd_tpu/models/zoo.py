@@ -55,10 +55,11 @@ class SmallCNN(nn.Module):
     # measurement-gated default off (campaign block2_shootout decides).
     fused_block2: bool = False
     fused_block3: bool = False
+    input_layout: str = "nchw"  # "nhwc": features arrive (B,F,M,1), no relayout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nchw_to_nhwc(x)
+        x = nchw_to_nhwc(x, self.input_layout)
         x = conv_bn_pool_block1(
             self, TorchConv(64, (2, 2), dtype=self.dtype),
             TorchBatchNorm(axis_name=self.bn_axis),
@@ -93,10 +94,11 @@ class LargeCNN(nn.Module):
     num_classes: int
     linear_features: int
     dtype: object = None
+    input_layout: str = "nchw"  # see SmallCNN.input_layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nchw_to_nhwc(x)
+        x = nchw_to_nhwc(x, self.input_layout)
         x = TorchConv(96, (3, 3), padding=(1, 1), dtype=self.dtype)(x)
         x = max_pool_torch(x, (2, 2))
         x = TorchConv(256, (3, 3), padding=(1, 1), dtype=self.dtype)(x)
@@ -130,10 +132,11 @@ class SmallLSTM(nn.Module):
     conv_impl: str = "lax"  # see SmallCNN.conv_impl
     fused_block2: bool = False  # see SmallCNN.fused_block2
     fused_block3: bool = False  # see SmallCNN.fused_block3
+    input_layout: str = "nchw"  # see SmallCNN.input_layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nchw_to_nhwc(x)
+        x = nchw_to_nhwc(x, self.input_layout)
         x = conv_bn_pool_block1(
             self, TorchConv(64, (2, 2), dtype=self.dtype),
             TorchBatchNorm(axis_name=self.bn_axis),
@@ -171,10 +174,14 @@ class LSTMWithAttention(nn.Module):
     seq_len: int   # = frames (100 ultra / 101 jingle / 32 daba, flowmur)
     dtype: object = None
     bn_axis: str | None = None
+    input_layout: str = "nchw"  # see SmallCNN.input_layout
+    # reference-faithful 0.5; the torch training-parity test sets 0.0 (dropout
+    # RNG streams cannot be aligned across frameworks)
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nchw_to_nhwc(x)
+        x = nchw_to_nhwc(x, self.input_layout)
         x = nn.relu(TorchConv(10, (5, 1), padding="SAME", dtype=self.dtype)(x))
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = nn.relu(TorchConv(1, (5, 1), padding="SAME", dtype=self.dtype)(x))
@@ -189,7 +196,7 @@ class LSTMWithAttention(nn.Module):
         att_vector = jnp.einsum("bk,btk->bt", att, x)  # (B, seq)
 
         y = nn.relu(TorchDense(64, name="dense2", dtype=self.dtype)(att_vector))
-        y = nn.Dropout(0.5, deterministic=not train)(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.relu(TorchDense(32, name="dense3", dtype=self.dtype)(y))
         self.sow("intermediates", "features", y)
         return TorchDense(self.num_classes, name="output", dtype=self.dtype)(y)
@@ -201,10 +208,12 @@ class RNN(nn.Module):
     num_classes: int
     time_len: int  # = n_mfcc
     dtype: object = None
+    input_layout: str = "nchw"  # see SmallCNN.input_layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = jnp.squeeze(x, axis=1).astype(jnp.float32)  # (B, frames, n_mfcc)
+        squeeze_axis = 1 if self.input_layout == "nchw" else -1
+        x = jnp.squeeze(x, axis=squeeze_axis).astype(jnp.float32)  # (B, frames, n_mfcc)
         x = LSTM(768, num_layers=3, dtype=self.dtype)(x)
         feats = x[:, -1, :]
         self.sow("intermediates", "features", feats)
@@ -243,10 +252,11 @@ class ResNet(nn.Module):
     layers: tuple[int, int, int] = (2, 2, 2)
     dtype: object = None
     bn_axis: str | None = None
+    input_layout: str = "nchw"  # see SmallCNN.input_layout
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nchw_to_nhwc(x)
+        x = nchw_to_nhwc(x, self.input_layout)
         x = TorchConv(16, (3, 3), padding=(1, 1), use_bias=False, dtype=self.dtype)(x)
         x = TorchBatchNorm(axis_name=self.bn_axis)(x, train)
         x = nn.relu(x)
@@ -285,7 +295,7 @@ MODEL_REGISTRY = {
 def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | None = None,
                 dtype=None, fused: bool = False, fused_input_grad: bool = False,
                 conv_impl: str = "lax", fused_block2: bool = False,
-                fused_block3: bool = False):
+                fused_block3: bool = False, input_layout: str = "nchw"):
     """Instantiate a model the way the reference's load_model() clones do.
 
     ``feature_size`` is the attack-dependent constructor arg from
@@ -299,20 +309,22 @@ def build_model(name: str, num_classes: int, feature_size: int, n_mfcc: int | No
         return SmallCNN(num_classes=num_classes, linear_features=feature_size,
                         dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
                         conv_impl=conv_impl, fused_block2=fused_block2,
-                        fused_block3=fused_block3)
+                        fused_block3=fused_block3, input_layout=input_layout)
     if name in ("largecnn", "resnet"):
-        return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size, dtype=dtype)
+        return MODEL_REGISTRY[name](num_classes=num_classes, linear_features=feature_size,
+                                    dtype=dtype, input_layout=input_layout)
     if name == "smalllstm":
         return SmallLSTM(num_classes=num_classes, rnn_features=feature_size,
                          dtype=dtype, fused_block1=fused, fused_input_grad=fused_input_grad,
                          conv_impl=conv_impl, fused_block2=fused_block2,
-                         fused_block3=fused_block3)
+                         fused_block3=fused_block3, input_layout=input_layout)
     if name == "lstmwithattention":
         assert n_mfcc is not None
-        return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size, dtype=dtype)
+        return LSTMWithAttention(num_classes=num_classes, time_len=n_mfcc, seq_len=feature_size,
+                                 dtype=dtype, input_layout=input_layout)
     if name == "rnn":
         assert n_mfcc is not None
-        return RNN(num_classes=num_classes, time_len=n_mfcc, dtype=dtype)
+        return RNN(num_classes=num_classes, time_len=n_mfcc, dtype=dtype, input_layout=input_layout)
     raise ValueError(f"Unknown model {name}")
 
 

@@ -179,6 +179,7 @@ def optimize_trigger(
     batch_size: int | None = None,
     verbose: bool = True,
     save_snapshots: bool = True,
+    loss_history: list | None = None,
 ) -> np.ndarray:
     epochs = epochs or cfg.flowmur_opt_epochs
     bs = batch_size or cfg.train.batch_size
@@ -264,6 +265,10 @@ def optimize_trigger(
         perm = jnp.asarray(np_rng.permutation(n))
         key, sub = jax.random.split(key)
         trigger, opt_state, loss = run_epoch(trigger, opt_state, perm, sub)
+        if loss_history is not None:
+            # raw device scalar — callers jnp.stack + one device_get (a
+            # float() here would cost one tunnel round-trip per epoch)
+            loss_history.append(loss)
         if verbose and (epoch % 25 == 0 or epoch == 1):
             print(f"flowmur trigger epoch {epoch}: summed loss {float(loss):.4f}")
         if save_snapshots and epoch % 100 == 0:

@@ -133,12 +133,25 @@ def make_eval_epoch_fn(model):
     return jax.jit(eval_epoch_fn(model))
 
 
+@jax.jit
+def _to_nhwc_once(feats):
+    # jitted so the one-time relayout is a single compiled program (an eager
+    # transpose costs a fresh remote compile per shape over the axon tunnel)
+    return jnp.transpose(feats, (0, 2, 3, 1))
+
+
 class DeviceDataset:
     """An ArraySet pinned to device memory for scan epochs."""
 
-    def __init__(self, data, sharding=None):
+    def __init__(self, data, sharding=None, layout: str = "nchw"):
         put = partial(jax.device_put, device=sharding) if sharding is not None else jax.device_put
-        self.feats = put(jnp.asarray(data.feats, jnp.float32))
+        feats = jnp.asarray(data.feats, jnp.float32)
+        if layout == "nhwc" and feats.ndim == 4:
+            # One-time relayout at adoption: batch gathers then emit NHWC
+            # directly and the models skip their per-step transpose
+            # (TrainConfig.feature_layout; models' input_layout must match).
+            feats = _to_nhwc_once(feats)
+        self.feats = put(feats)
         self.labels = put(jnp.asarray(data.labels, jnp.int32))
         ind = data.indicators if data.indicators is not None else np.zeros(len(data.labels), np.int64)
         self.indicators = put(jnp.asarray(ind, jnp.int32))

@@ -76,7 +76,7 @@ def resolve_fused_block2(cfg: AttackConfig, field: str = "fused_block2") -> bool
     return False
 
 
-def build_attack_model(cfg: AttackConfig):
+def build_attack_model(cfg: AttackConfig, input_layout: str = "nchw"):
     feats = linear_features_for(cfg.name, cfg.model)
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else None
     return build_model(
@@ -84,6 +84,7 @@ def build_attack_model(cfg: AttackConfig):
         fused=resolve_fused_conv(cfg), conv_impl=resolve_conv_impl(cfg),
         fused_block2=resolve_fused_block2(cfg),
         fused_block3=resolve_fused_block2(cfg, "fused_block3"),
+        input_layout=input_layout,
     )
 
 
@@ -149,11 +150,24 @@ def train_attack(
     resume: bool = False,
     profile_dir: str | None = None,
 ) -> TrainResult:
-    model = build_attack_model(cfg)
-    tx = make_optimizer(cfg)
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    # Storage layout: with feature_layout="nhwc" the single-device scan path
+    # keeps the whole dataset device-resident as (N, F, M, 1) and the model
+    # skips its per-step NCHW→NHWC relayout (VERDICT r4 item 5 experiment).
+    # API boundaries (ArraySet, npy contract, checkpoints) stay NCHW; the
+    # per-batch and sharded paths keep NCHW storage.
+    _scan_possible = cfg.train.use_scan_epochs and mesh.devices.size == 1
+    layout = (
+        "nhwc"
+        if getattr(cfg.train, "feature_layout", "nchw") == "nhwc" and _scan_possible
+        else "nchw"
+    )
+    model = build_attack_model(cfg, input_layout=layout)
+    tx = make_optimizer(cfg)
 
     sample = bd_train.feats[:1].astype(np.float32)
+    if layout == "nhwc":
+        sample = sample.transpose(0, 2, 3, 1)
     variables = jit_init(model, rnd.named_key(cfg.train.seed, "params"), sample)
     state = TrainState.create(variables, tx)
     if resume:
@@ -212,9 +226,9 @@ def train_attack(
 
         train_epoch_fn = make_train_epoch_fn(model, tx)
         eval_epoch_fn = make_eval_epoch_fn(model)
-        d_train = DeviceDataset(bd_train)
-        d_clean = DeviceDataset(clean_test)
-        d_bd = DeviceDataset(bd_test)
+        d_train = DeviceDataset(bd_train, layout=layout)
+        d_clean = DeviceDataset(clean_test, layout=layout)
+        d_bd = DeviceDataset(bd_test, layout=layout)
     elif use_sharded_scan:
         from audiobd_tpu.train.scan_epoch import (
             ShardedDeviceDataset,

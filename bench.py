@@ -351,8 +351,31 @@ def bench_end_to_end() -> dict:
     }
 
 
-def bench_torch_reference() -> float:
-    """Reference-equivalent torch smallcnn train step on host CPU."""
+_TORCH_ALONE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "record", "torch_baseline_alone.json"
+)
+
+
+def _load_torch_alone() -> dict | None:
+    try:
+        with open(_TORCH_ALONE_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def bench_torch_reference() -> dict:
+    """Reference-equivalent torch smallcnn train step on host CPU.
+
+    Contention-proofed (VERDICT r4 weak #4: a campaign stage holding the
+    single core made the driver's r4 capture read 13.1 clips/s vs 92.2
+    measured alone — a 7x-wrong headline ratio). Defenses: (a) min-of-N
+    per-step timing instead of a mean, (b) loadavg before/after recorded in
+    the output, (c) a repo-resident last-known-alone sidecar
+    (record/torch_baseline_alone.json): a fresh measurement below half the
+    alone value, or loadavg > 1.5 on this 1-core host, is flagged
+    ``contended`` and the alone value is reported as the ratio fallback;
+    an uncontended fresh measurement updates the sidecar."""
     import torch
     import torch.nn as tnn
     import torch.nn.functional as F
@@ -392,16 +415,58 @@ def bench_torch_reference() -> float:
         loss.backward()
         opt.step()
 
+    load_before = os.getloadavg()[0]
     for _ in range(2):
         one_step()
-    t0 = time.perf_counter()
     n = 6
+    step_secs = []
     for _ in range(n):
+        t0 = time.perf_counter()
         one_step()
-    dt = (time.perf_counter() - t0) / n
+        step_secs.append(time.perf_counter() - t0)
+    load_after = os.getloadavg()[0]
+    dt = min(step_secs)  # min-of-N: intermittent contention inflates, never deflates
     clips = BATCH / dt
-    log(f"torch-cpu reference: {dt * 1e3:.1f} ms/step, {clips:.0f} clips/s")
-    return clips
+    alone = _load_torch_alone()
+    contended = max(load_before, load_after) > 1.5 or (
+        alone is not None and clips < 0.5 * alone["clips_per_sec"]
+    )
+    out = {
+        "clips_per_sec": round(clips, 1),
+        "min_step_ms": round(dt * 1e3, 1),
+        "load_before": round(load_before, 2),
+        "load_after": round(load_after, 2),
+        "contended": contended,
+    }
+    if contended and alone is not None:
+        # ratio fallback: the last measurement taken with the core free
+        out["ratio_reference_clips_per_sec"] = alone["clips_per_sec"]
+        out["ratio_reference_source"] = alone.get("source", "sidecar")
+        log(
+            f"torch-cpu reference CONTENDED (load {load_before:.2f}->{load_after:.2f}, "
+            f"measured {clips:.0f} clips/s); ratio falls back to alone value "
+            f"{alone['clips_per_sec']} ({alone.get('source', 'sidecar')})"
+        )
+    elif not contended and not SMOKE:
+        out["ratio_reference_clips_per_sec"] = out["clips_per_sec"]
+        try:
+            os.makedirs(os.path.dirname(_TORCH_ALONE_FILE), exist_ok=True)
+            with open(_TORCH_ALONE_FILE, "w") as f:
+                json.dump(
+                    {
+                        "clips_per_sec": out["clips_per_sec"],
+                        "min_step_ms": out["min_step_ms"],
+                        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                        "source": "bench.py measured alone (min-of-6 steps)",
+                    },
+                    f,
+                )
+        except OSError as e:
+            log(f"could not update torch alone sidecar: {e}")
+    else:
+        out["ratio_reference_clips_per_sec"] = out["clips_per_sec"]
+    log(f"torch-cpu reference: {dt * 1e3:.1f} ms/step, {clips:.0f} clips/s (contended={contended})")
+    return out
 
 
 def _replay_last_capture(candidates=None) -> bool:
@@ -583,8 +648,10 @@ def main():
     ref = None
     if _selected("torch"):
         try:
-            ref = bench_torch_reference()
-            detail["torch_cpu_smallcnn_f32"] = round(ref, 1)
+            tref = bench_torch_reference()
+            detail["torch_cpu_smallcnn_f32"] = tref["clips_per_sec"]
+            detail["torch_cpu_baseline"] = tref
+            ref = tref["ratio_reference_clips_per_sec"]
         except Exception as e:
             log(f"torch baseline failed: {e}")
     vs = round(headline / ref, 2) if (headline and ref) else None

@@ -24,6 +24,13 @@ from audiobd_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache("auto")
 
+import jax  # noqa: E402
+
+# Platform escape hatch (same as __main__.py): lets CPU rehearsals work
+# while the axon sitecustomize would otherwise force the TPU backend.
+if os.environ.get("AUDIOBD_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+
 import numpy as np  # noqa: E402
 
 from audiobd_tpu.configs import make_config  # noqa: E402

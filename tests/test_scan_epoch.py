@@ -76,3 +76,54 @@ def test_train_scan_vs_per_batch_same_first_epoch():
     # allow small slack on the loss but demand matching accounting.
     assert abs(ma["asr"] - mb["asr"]) < 20.0
     assert abs(ma["loss"] - mb["loss"]) < 0.5
+
+
+def test_nhwc_layout_parity():
+    """feature_layout="nhwc" (dataset stored (N,F,M,1), model skips the
+    per-step transpose) must train identically to the NCHW default: same
+    param tree, same per-epoch metrics, same learned params."""
+    model, tx, state, data = _setup()
+    model_nhwc = build_model("smallcnn", 10, 224, input_layout="nhwc")
+    vars_nhwc = model_nhwc.init(
+        jax.random.PRNGKey(0), np.transpose(data.feats[:1], (0, 2, 3, 1)), train=False
+    )
+    state_nhwc = TrainState.create(vars_nhwc, tx)
+    # same init: the transpose is outside any parameterized op
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(state_nhwc.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    key = rnd.named_key(35, "dropout")
+    dset = DeviceDataset(data)
+    dset_nhwc = DeviceDataset(data, layout="nhwc")
+    assert dset_nhwc.feats.shape == (100, 32, 13, 1)
+    s1, m1 = run_train_epoch_scan(
+        make_train_epoch_fn(model, tx, donate=False), state, dset, 32, key, rnd.np_rng(35, "s")
+    )
+    s2, m2 = run_train_epoch_scan(
+        make_train_epoch_fn(model_nhwc, tx, donate=False), state_nhwc, dset_nhwc, 32, key,
+        rnd.np_rng(35, "s"),
+    )
+    assert abs(m1["loss"] - m2["loss"]) < 1e-6
+    assert m1["mix_acc"] == m2["mix_acc"] and m1["asr"] == m2["asr"]
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    e1 = run_eval_scan(make_eval_epoch_fn(model), s1, dset, 32)
+    e2 = run_eval_scan(make_eval_epoch_fn(model_nhwc), s2, dset_nhwc, 32)
+    assert abs(e1["loss"] - e2["loss"]) < 1e-6 and e1["acc"] == e2["acc"]
+
+
+def test_nhwc_layout_rnn_models():
+    """The squeeze-based RNN and the attention model accept NHWC input."""
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((4, 1, 32, 13)).astype(np.float32)
+    nhwc = np.transpose(feats, (0, 2, 3, 1))
+    for name, fs in (("rnn", 32), ("lstmwithattention", 32)):
+        a = build_model(name, 10, fs, n_mfcc=13)
+        b = build_model(name, 10, fs, n_mfcc=13, input_layout="nhwc")
+        va = a.init(jax.random.PRNGKey(0), feats, train=False)
+        vb = b.init(jax.random.PRNGKey(0), nhwc, train=False)
+        ya = a.apply(va, feats, train=False)
+        yb = b.apply(vb, nhwc, train=False)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-6, atol=1e-6)
