@@ -37,6 +37,11 @@ def parse_arguments():
         help="trigger-opt update rule: independent per-batch Adam steps, or the "
              "reference's per-batch steps on the prefix-summed epoch gradient",
     )
+    parser.add_argument(
+        "--flowmur_restarts", type=int, default=None,
+        help="trigger-opt restarts with probe-victim selection (1 = "
+             "reference-faithful single opt; see poison/flowmur.select_trigger)",
+    )
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_per_class", type=int, default=50)
     return parser.parse_args()
@@ -50,6 +55,7 @@ def main():
         snr_db=args.snr_db,
         surrogate_epochs=args.surrogate_epochs,
         flowmur_opt_epochs=args.opt_epochs,
+        flowmur_restarts=args.flowmur_restarts,
     )
     enable_compilation_cache(cfg.train.compilation_cache)
     print("----------FlowMur attack (audiobd_tpu)----------")
@@ -69,7 +75,7 @@ def main():
     else:
         print("Generating optimal trigger...")
         hosts = flowmur.select_trigger_hosts(cfg, clean)
-        trigger = flowmur.optimize_trigger(cfg, model, state, hosts)
+        trigger = flowmur.select_trigger(cfg, model, state, hosts, clean)
     poisoned = flowmur.poison(cfg, clean, trigger)
     result = train_attack(cfg, poisoned.bd_train, poisoned.clean_test, poisoned.bd_test)
     print(

@@ -172,6 +172,13 @@ class AttackConfig:
     # loss + backward(retain_graph) + step inside the batch loop,
     # utils/flowmur_generate_trigger.py:100-105).
     flowmur_update: str = "per_batch"
+    # Trigger-opt restarts with probe-victim selection (round-5 mitigation
+    # for the seed-bimodal ASR failure, flowmur_diagnosis_r5.jsonl: the
+    # attack's outcome is decided by victim epoch ~10 — ASR@10 >= 53 on
+    # succeeding seeds vs <= 11 on failing ones — so a short probe victim
+    # ranks candidate triggers cheaply). 1 = reference-faithful single opt.
+    flowmur_restarts: int = 1
+    flowmur_probe_epochs: int = 10
     surrogate_runs: int = 3
     surrogate_epochs: int = 1000
 

@@ -138,6 +138,31 @@ def run_prep(flat_fn, chunked_fn, wavs, indicators, chunk: int) -> jax.Array:
     return out[:n] if pad else out
 
 
+def make_sharded_prep_fn(block, mesh, chunk: int):
+    """shard_map the fused prep over the mesh's 'data' axis.
+
+    The prep is row-parallel (each clip's dequantize→inject→MFCC is
+    independent), so the multi-chip layout is pure row sharding: every
+    device runs the same ``map_blocks`` scan over its local rows and the
+    output stays row-sharded for ShardedDeviceDataset adoption — no
+    collectives at all. Caller contract: ``w.shape[0]`` divisible by the
+    mesh's data axis, and each per-device shard a multiple of ``chunk``
+    (run_prep's wrap-pad quantization provides this at production sizes).
+    Validated against the single-device program by ``dryrun_multichip``
+    phase 3.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(w, ind):
+        return map_blocks(block, w, ind, chunk)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data")
+        )
+    )
+
+
 @jax.jit
 def scatter_rows(base: jax.Array, rows: jax.Array, idx: jax.Array) -> jax.Array:
     """``base`` with ``base[idx] ← rows`` as ONE compiled scatter.
