@@ -115,3 +115,44 @@ def test_flowmur_poison_semantics(setup):
     assert len(out.bd_test) == int((clean.test_label != cfg.target_label).sum())
     assert (out.bd_test.labels == cfg.target_label).all()
     assert (out.bd_test.indicators == 1).all()
+
+
+def test_restart_streams_distinct(setup):
+    """flowmur_restarts draws distinct RNG streams per restart — the
+    candidates must genuinely differ for probe selection to have choices."""
+    cfg, clean, model, state = setup
+    hosts = flowmur.select_trigger_hosts(cfg, clean, n_hosts=32)
+    t0 = flowmur.optimize_trigger(
+        cfg, model, state, hosts, epochs=2, verbose=False, save_snapshots=False, restart=0
+    )
+    t1 = flowmur.optimize_trigger(
+        cfg, model, state, hosts, epochs=2, verbose=False, save_snapshots=False, restart=1
+    )
+    t0b = flowmur.optimize_trigger(
+        cfg, model, state, hosts, epochs=2, verbose=False, save_snapshots=False, restart=0
+    )
+    assert t0.shape == t1.shape
+    np.testing.assert_array_equal(t0, t0b)  # deterministic per restart index
+    assert np.abs(t0 - t1).max() > 1e-6  # distinct across restart indices
+
+
+def test_select_trigger_probe_path(setup):
+    """select_trigger with restarts>1 runs the probe victims and returns one
+    of the candidates (tiny budgets — the machinery, not the science)."""
+    import dataclasses
+
+    cfg, clean, model, state = setup
+    cfg2 = dataclasses.replace(cfg)
+    cfg2.train = dataclasses.replace(cfg.train, num_epochs=2)
+    cfg2.flowmur_restarts = 2
+    cfg2.flowmur_probe_epochs = 2
+    cfg2.flowmur_opt_epochs = 2
+    hosts = flowmur.select_trigger_hosts(cfg2, clean, n_hosts=32)
+    trig = flowmur.select_trigger(cfg2, model, state, hosts, clean, verbose=False)
+    cands = [
+        flowmur.optimize_trigger(
+            cfg2, model, state, hosts, epochs=2, verbose=False, save_snapshots=False, restart=r
+        )
+        for r in range(2)
+    ]
+    assert any(np.array_equal(trig, c) for c in cands)
