@@ -319,10 +319,16 @@ def bench_end_to_end() -> dict:
     log(f"e2e ingest (host→device, {wavs.nbytes / 1e9:.2f} GB): {t_ingest_total:.2f} s total, "
         f"{max(t_ingest_total - t_compile_point, 0.0):.2f} s residual after prep compile")
 
-    t0 = time.perf_counter()
-    feats = poison_waveforms_device(wavs_dev, ind_dev, trigger, params, chunk=chunk)
-    jax.device_get(feats[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
-    t_prep = time.perf_counter() - t0
+    # min-of-N on both timed legs: tunnel dispatch jitter inflates a single
+    # reading, never deflates it (same rationale as the torch baseline's
+    # min-of-N; the r5 verify run read the one-shot epoch 20% high).
+    prep_secs = []
+    for _ in range(1 if SMOKE else 2):
+        t0 = time.perf_counter()
+        feats = poison_waveforms_device(wavs_dev, ind_dev, trigger, params, chunk=chunk)
+        jax.device_get(feats[-1, :1, :1, :1])  # force (block_until_ready lies on axon)
+        prep_secs.append(time.perf_counter() - t0)
+    t_prep = min(prep_secs)
     log(f"e2e poison+MFCC (on device): {t_prep:.3f} s for {N_CLIPS} clips "
         f"({N_CLIPS / t_prep:.0f} clips/s)")
     t_ingest = t_ingest_total
@@ -337,9 +343,12 @@ def bench_end_to_end() -> dict:
     key = jax.random.PRNGKey(1)
     np_rng = np.random.default_rng(1)
     state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
-    t0 = time.perf_counter()
-    state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
-    t_epoch = time.perf_counter() - t0
+    epoch_secs = []
+    for _ in range(TIMED_EPOCHS):
+        t0 = time.perf_counter()
+        state, _ = run_train_epoch_scan(epoch_fn, state, dset, BATCH, key, np_rng)
+        epoch_secs.append(time.perf_counter() - t0)
+    t_epoch = min(epoch_secs)
     e2e = N_CLIPS / (t_prep + t_epoch)
     log(f"e2e poisoned train: {e2e:.0f} clips/s/chip (prep {t_prep:.2f}s + epoch {t_epoch:.2f}s)")
     return {
