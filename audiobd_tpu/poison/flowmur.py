@@ -277,12 +277,37 @@ def optimize_trigger(
         if verbose and (epoch % 25 == 0 or epoch == 1):
             print(f"flowmur trigger epoch {epoch}: summed loss {float(loss):.4f}")
         if save_snapshots and epoch % 100 == 0:
+            # restart > 0 snapshots carry the restart suffix; select_trigger
+            # promotes the winning restart's files to the canonical
+            # sp_trigger<epoch>.npy names (the reference-parity artifact).
             os.makedirs(snap_dir, exist_ok=True)
-            np.save(os.path.join(snap_dir, f"sp_trigger{epoch}.npy"), np.asarray(trigger)[None, :])
+            np.save(
+                os.path.join(snap_dir, f"sp_trigger{epoch}{suffix}.npy"),
+                np.asarray(trigger)[None, :],
+            )
     return np.asarray(trigger)[None, :]  # (1, L)
 
 
-def select_trigger(cfg, surrogate_model, surrogate_state, hosts, clean, verbose: bool = True):
+def _promote_snapshots(snap_dir: str, best_r: int) -> None:
+    """Copy restart ``best_r``'s sp_trigger<epoch>_r<best_r>.npy snapshots to
+    the canonical sp_trigger<epoch>.npy names, so the reference-parity
+    artifact (utils/flowmur_generate_trigger.py:112-116) reflects the trigger
+    that actually ships; the per-restart files stay for provenance."""
+    import shutil
+
+    if not os.path.isdir(snap_dir):
+        return
+    tag = f"_r{best_r}.npy"
+    for fname in sorted(os.listdir(snap_dir)):
+        if fname.startswith("sp_trigger") and fname.endswith(tag):
+            shutil.copyfile(
+                os.path.join(snap_dir, fname),
+                os.path.join(snap_dir, fname[: -len(tag)] + ".npy"),
+            )
+
+
+def select_trigger(cfg, surrogate_model, surrogate_state, hosts, clean,
+                   verbose: bool = True, save_snapshots: bool = True):
     """Trigger optimization with ``cfg.flowmur_restarts`` restarts and
     probe-victim selection (round-5 mitigation, not in the reference).
 
@@ -297,7 +322,8 @@ def select_trigger(cfg, surrogate_model, surrogate_state, hosts, clean, verbose:
     """
     k = int(getattr(cfg, "flowmur_restarts", 1))
     if k <= 1:
-        return optimize_trigger(cfg, surrogate_model, surrogate_state, hosts, verbose=verbose)
+        return optimize_trigger(cfg, surrogate_model, surrogate_state, hosts,
+                                verbose=verbose, save_snapshots=save_snapshots)
 
     import copy
 
@@ -306,11 +332,11 @@ def select_trigger(cfg, surrogate_model, surrogate_state, hosts, clean, verbose:
     pcfg = copy.deepcopy(cfg)
     pcfg.train.num_epochs = int(getattr(cfg, "flowmur_probe_epochs", 10))
     pcfg.train.patience = 10**6
-    best, best_asr = None, -1.0
+    best, best_asr, best_r = None, -1.0, 0
     for r in range(k):
         trig = optimize_trigger(
             cfg, surrogate_model, surrogate_state, hosts,
-            verbose=verbose, save_snapshots=False, restart=r,
+            verbose=verbose, save_snapshots=save_snapshots, restart=r,
         )
         poisoned = poison(pcfg, clean, trig, save=False)
         res = train_attack(
@@ -321,9 +347,11 @@ def select_trigger(cfg, surrogate_model, surrogate_state, hosts, clean, verbose:
         if verbose:
             print(f"flowmur restart {r}: probe ASR@{pcfg.train.num_epochs}ep {probe_asr:.2f}")
         if probe_asr > best_asr:
-            best, best_asr = trig, probe_asr
+            best, best_asr, best_r = trig, probe_asr, r
+    if save_snapshots and best_r != 0:
+        _promote_snapshots(os.path.join(cfg.record_dir, "poisoning_record"), best_r)
     if verbose:
-        print(f"flowmur selected trigger with probe ASR {best_asr:.2f}")
+        print(f"flowmur selected trigger with probe ASR {best_asr:.2f} (restart {best_r})")
     return best
 
 

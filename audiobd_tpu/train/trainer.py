@@ -156,10 +156,14 @@ def train_attack(
     # skips its per-step NCHW→NHWC relayout (VERDICT r4 item 5 experiment).
     # API boundaries (ArraySet, npy contract, checkpoints) stay NCHW; the
     # per-batch and sharded paths keep NCHW storage.
-    _scan_possible = cfg.train.use_scan_epochs and mesh.devices.size == 1
+    # use_scan is THE predicate for the single-device scan engine; the layout
+    # decision below must follow it exactly (an nhwc model fed nchw batches
+    # by the per-batch engine would conv over garbage dimensions), so it is
+    # computed once here and reused at the engine dispatch.
+    use_scan = cfg.train.use_scan_epochs and mesh.devices.size == 1
     layout = (
         "nhwc"
-        if getattr(cfg.train, "feature_layout", "nchw") == "nhwc" and _scan_possible
+        if getattr(cfg.train, "feature_layout", "nchw") == "nhwc" and use_scan
         else "nchw"
     )
     model = build_attack_model(cfg, input_layout=layout)
@@ -199,7 +203,7 @@ def train_attack(
     # per-batch GSPMD step's numerics, without its per-batch dispatch).
     # Otherwise (tp axis in play): the per-batch path shards every batch
     # over the mesh's data axis and lets GSPMD lay out the rest.
-    use_scan = cfg.train.use_scan_epochs and mesh.devices.size == 1
+    # (use_scan computed above, next to the layout decision that depends on it.)
     sharded_mode = getattr(cfg.train, "sharded_scan_epochs", "auto")
     sharded_ok = sharded_mode == "on" or (
         sharded_mode == "auto" and jax.default_backend() == "tpu"

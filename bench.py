@@ -368,9 +368,16 @@ _TORCH_ALONE_FILE = os.path.join(
 def _load_torch_alone() -> dict | None:
     try:
         with open(_TORCH_ALONE_FILE) as f:
-            return json.load(f)
+            alone = json.load(f)
     except (OSError, ValueError):
         return None
+    # A truncated/hand-edited sidecar missing the key must not KeyError the
+    # whole torch leg (which would drop a perfectly good fresh measurement).
+    if not isinstance(alone, dict) or not isinstance(
+        alone.get("clips_per_sec"), (int, float)
+    ):
+        return None
+    return alone
 
 
 def bench_torch_reference() -> dict:
@@ -437,8 +444,11 @@ def bench_torch_reference() -> dict:
     dt = min(step_secs)  # min-of-N: intermittent contention inflates, never deflates
     clips = BATCH / dt
     alone = _load_torch_alone()
+    # The 0.5x-of-alone clause only makes sense at the full bench shape: the
+    # sidecar is a batch-256 number, so comparing a BENCH_SMOKE batch-32
+    # reading against it would false-flag rehearsals. Load check suffices there.
     contended = max(load_before, load_after) > 1.5 or (
-        alone is not None and clips < 0.5 * alone["clips_per_sec"]
+        not SMOKE and alone is not None and clips < 0.5 * alone["clips_per_sec"]
     )
     out = {
         "clips_per_sec": round(clips, 1),
@@ -458,20 +468,27 @@ def bench_torch_reference() -> dict:
         )
     elif not contended and not SMOKE:
         out["ratio_reference_clips_per_sec"] = out["clips_per_sec"]
-        try:
-            os.makedirs(os.path.dirname(_TORCH_ALONE_FILE), exist_ok=True)
-            with open(_TORCH_ALONE_FILE, "w") as f:
-                json.dump(
-                    {
-                        "clips_per_sec": out["clips_per_sec"],
-                        "min_step_ms": out["min_step_ms"],
-                        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                        "source": "bench.py measured alone (min-of-6 steps)",
-                    },
-                    f,
-                )
-        except OSError as e:
-            log(f"could not update torch alone sidecar: {e}")
+        # The sidecar holds the BEST uncontended measurement: a run that
+        # passes the (necessarily weak) contention gate while the core is
+        # partially busy would otherwise ratchet the alone reference down
+        # permanently (r5: an uncontended-flagged 66.0 overwrote 86.6), and
+        # with it the 0.5x gate threshold. Torch-alone wobble is 64-92
+        # clips/s; keeping the max loses nothing on this fixed fixture.
+        if alone is None or out["clips_per_sec"] >= alone["clips_per_sec"]:
+            try:
+                os.makedirs(os.path.dirname(_TORCH_ALONE_FILE), exist_ok=True)
+                with open(_TORCH_ALONE_FILE, "w") as f:
+                    json.dump(
+                        {
+                            "clips_per_sec": out["clips_per_sec"],
+                            "min_step_ms": out["min_step_ms"],
+                            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                            "source": "bench.py measured alone (min-of-6 steps)",
+                        },
+                        f,
+                    )
+            except OSError as e:
+                log(f"could not update torch alone sidecar: {e}")
     else:
         out["ratio_reference_clips_per_sec"] = out["clips_per_sec"]
     log(f"torch-cpu reference: {dt * 1e3:.1f} ms/step, {clips:.0f} clips/s (contended={contended})")

@@ -26,16 +26,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 import numpy as np  # noqa: E402
 
@@ -47,14 +40,20 @@ from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 TRIGGER_SEEDS = [int(s) for s in os.environ.get("CROSS_TRIGGER_SEEDS", "35,36").split(",")]
 VICTIM_SEEDS = [int(s) for s in os.environ.get("CROSS_VICTIM_SEEDS", "35,36").split(",")]
 EPOCHS = int(os.environ.get("CROSS_EPOCHS", "120"))
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("CROSS_OUT", os.path.join(_REPO, "flowmur_cross_r5.jsonl"))
+OUT = os.environ.get("CROSS_OUT", common.repo_path("flowmur_cross_r5.jsonl"))
 SMOKE = os.environ.get("CROSS_SMOKE", "") not in ("", "0")
 
 
 def get_trigger(seed: int, clean) -> np.ndarray:
-    """Trigger optimized under ``seed`` — cached under record/flowmur_diag_<seed>/."""
-    cache = os.path.join(_REPO, "record", f"flowmur_diag_{seed}", "trigger.npy")
+    """Trigger optimized under ``seed`` — cached under record/flowmur_diag_<seed>/.
+
+    Smoke rehearsals cache under a separate name: a CROSS_SMOKE trigger
+    (3-epoch surrogate, 5 opt epochs) silently feeding a later full-budget
+    run — and cross2/cross3, which load the same path — would invalidate
+    every cross-attribution row with no provenance marker.
+    """
+    fname = "trigger_smoke.npy" if SMOKE else "trigger.npy"
+    cache = common.repo_path("record", f"flowmur_diag_{seed}", fname)
     if os.path.exists(cache):
         return np.load(cache)
     cfg = make_config(
@@ -100,14 +99,10 @@ def one_cross(trigger_seed: int, victim_seed: int, clean, trigger) -> dict:
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add((r["trigger_seed"], r["victim_seed"]))
-                    print(f"# resumed: {json.dumps(r)}", flush=True)
+    done = common.done_rows(OUT, ("trigger_seed", "victim_seed"))
+    for key in sorted(done):
+        print(f"# resumed: {json.dumps(dict(zip(('trigger_seed', 'victim_seed'), key)))}",
+              flush=True)
     cfg0 = make_config("flowmur", seed=35)
     clean = make_synthetic_clean_data(cfg0, n_per_class=50 if SMOKE else 500)
     triggers = {}
@@ -119,10 +114,7 @@ def main():
         for vs in VICTIM_SEEDS:
             if (ts, vs) in done:
                 continue
-            row = one_cross(ts, vs, clean, triggers[ts])
-            print(json.dumps(row), flush=True)
-            with open(OUT, "a") as f:
-                f.write(json.dumps(row) + "\n")
+            common.append_row(OUT, one_cross(ts, vs, clean, triggers[ts]))
 
 
 if __name__ == "__main__":

@@ -20,21 +20,13 @@ Env: CROSS2_POISON_SEEDS / CROSS2_TRAIN_SEEDS (default "35,36,39" each),
 CROSS2_EPOCHS (120), CROSS2_OUT (flowmur_cross2_r5.jsonl, resumable).
 """
 
-import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 import numpy as np  # noqa: E402
 
@@ -47,21 +39,13 @@ POISON_SEEDS = [int(s) for s in os.environ.get("CROSS2_POISON_SEEDS", "35,36,39"
 TRAIN_SEEDS = [int(s) for s in os.environ.get("CROSS2_TRAIN_SEEDS", "35,36,39").split(",")]
 EPOCHS = int(os.environ.get("CROSS2_EPOCHS", "120"))
 TRIGGER_SEED = int(os.environ.get("CROSS2_TRIGGER_SEED", "35"))
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("CROSS2_OUT", os.path.join(_REPO, "flowmur_cross2_r5.jsonl"))
+OUT = os.environ.get("CROSS2_OUT", common.repo_path("flowmur_cross2_r5.jsonl"))
 SMOKE = os.environ.get("CROSS2_SMOKE", "") not in ("", "0")
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add((r["poison_seed"], r["train_seed"]))
-                    print(f"# resumed: {json.dumps(r)}", flush=True)
-    trig_path = os.path.join(_REPO, "record", f"flowmur_diag_{TRIGGER_SEED}", "trigger.npy")
+    done = common.done_rows(OUT, ("poison_seed", "train_seed"))
+    trig_path = common.repo_path("record", f"flowmur_diag_{TRIGGER_SEED}", "trigger.npy")
     trigger = np.load(trig_path)
     cfg0 = make_config("flowmur", seed=35)
     clean = make_synthetic_clean_data(cfg0, n_per_class=50 if SMOKE else 500)
@@ -94,9 +78,7 @@ def main():
                 "clean_acc_final": round(res.history["test_clean_acc"][-1], 2),
                 "wall_sec": round(time.time() - t0, 1),
             }
-            print(json.dumps(row), flush=True)
-            with open(OUT, "a") as f:
-                f.write(json.dumps(row) + "\n")
+            common.append_row(OUT, row)
 
 
 if __name__ == "__main__":

@@ -14,21 +14,13 @@ Run on the TPU fixture:
 Output: flowmur_cross3_r5.jsonl (resumable).
 """
 
-import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 import numpy as np  # noqa: E402
 
@@ -42,8 +34,7 @@ COMBOS = [  # (init_seed, other_seed) — "other" covers shuffle + dropout
     (35, 36), (36, 35), (35, 39), (39, 35), (36, 36), (39, 39),
 ]
 EPOCHS = int(os.environ.get("CROSS3_EPOCHS", "120"))
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("CROSS3_OUT", os.path.join(_REPO, "flowmur_cross3_r5.jsonl"))
+OUT = os.environ.get("CROSS3_OUT", common.repo_path("flowmur_cross3_r5.jsonl"))
 
 _ORIG_NAMED, _ORIG_NP = rnd.named_key, rnd.np_rng
 
@@ -63,15 +54,8 @@ def _unpatch():
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add((r["init_seed"], r["other_seed"]))
-                    print(f"# resumed: {json.dumps(r)}", flush=True)
-    trigger = np.load(os.path.join(_REPO, "record", "flowmur_diag_35", "trigger.npy"))
+    done = common.done_rows(OUT, ("init_seed", "other_seed"))
+    trigger = np.load(common.repo_path("record", "flowmur_diag_35", "trigger.npy"))
     cfg = make_config("flowmur", seed=35)
     clean = make_synthetic_clean_data(cfg, n_per_class=500)
     poisoned = flowmur.poison(cfg, clean, trigger, save=False)  # poison stream: seed 35
@@ -102,9 +86,7 @@ def main():
             "clean_acc_final": round(res.history["test_clean_acc"][-1], 2),
             "wall_sec": round(time.time() - t0, 1),
         }
-        print(json.dumps(row), flush=True)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(row) + "\n")
+        common.append_row(OUT, row)
 
 
 if __name__ == "__main__":

@@ -34,19 +34,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 import jax  # noqa: E402
-
-# Platform escape hatch (same as __main__.py): the axon sitecustomize pins
-# jax_platforms programmatically, so AUDIOBD_PLATFORM=cpu is the only way to
-# rehearse this script off-TPU.
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -56,8 +48,7 @@ from audiobd_tpu.poison import flowmur  # noqa: E402
 from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 
 SEEDS = [int(s) for s in os.environ.get("DIAG_SEEDS", "35,36,39").split(",")]
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("DIAG_OUT", os.path.join(_REPO, "flowmur_diagnosis_r5.jsonl"))
+OUT = os.environ.get("DIAG_OUT", common.repo_path("flowmur_diagnosis_r5.jsonl"))
 MAX_EPOCHS = int(os.environ.get("DIAG_EPOCHS", "300"))
 # DIAG_SMOKE=1: tiny budgets for a CPU dress rehearsal of the whole script
 # (n_per_class 50, 3 surrogate epochs, 5 opt epochs, 6 victim epochs).
@@ -141,21 +132,11 @@ def one_seed(seed: int) -> dict:
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add(r["seed"])
-                    print(f"# resumed: {json.dumps(r)}", flush=True)
+    done = common.done_rows(OUT, ("seed",))
     for seed in SEEDS:
-        if seed in done:
+        if (seed,) in done:
             continue
-        row = one_seed(seed)
-        print(json.dumps(row), flush=True)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(row) + "\n")
+        common.append_row(OUT, one_seed(seed))
 
 
 if __name__ == "__main__":

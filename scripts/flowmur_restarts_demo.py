@@ -20,21 +20,13 @@ Run on the TPU fixture:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/flowmur_restarts_demo.py
 """
 
-import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 from audiobd_tpu.configs import make_config  # noqa: E402
 from audiobd_tpu.data.speech_commands import make_synthetic_clean_data  # noqa: E402
@@ -43,10 +35,7 @@ from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 
 SEEDS = [int(s) for s in os.environ.get("DEMO_SEEDS", "35,36").split(",")]
 RESTARTS = int(os.environ.get("DEMO_RESTARTS", "3"))
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get(
-    "DEMO_OUT", os.path.join(_REPO, "flowmur_restarts_demo_r5.jsonl")
-)
+OUT = os.environ.get("DEMO_OUT", common.repo_path("flowmur_restarts_demo_r5.jsonl"))
 
 
 def one_run(seed: int) -> dict:
@@ -76,20 +65,12 @@ def one_run(seed: int) -> dict:
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    done.add(json.loads(line)["seed"])
+    done = common.done_rows(OUT, ("seed",))
     for seed in SEEDS:
-        if seed in done:
+        if (seed,) in done:
             print(f"seed {seed}: already recorded, skipping", file=sys.stderr)
             continue
-        row = one_run(seed)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(row) + "\n")
-        print(json.dumps(row))
+        common.append_row(OUT, one_run(seed))
 
 
 if __name__ == "__main__":

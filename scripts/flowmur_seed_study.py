@@ -18,18 +18,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-# Platform escape hatch (same as __main__.py): lets CPU rehearsals work
-# while the axon sitecustomize would otherwise force the TPU backend.
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 import numpy as np  # noqa: E402
 
@@ -41,8 +32,7 @@ from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 SEEDS = [35, 36, 37, 38, 39]
 # Repo-resident by default: /tmp is wiped on fixture reboots, which stranded
 # the r3 study's resume state. Rows in the repo survive and get committed.
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("STUDY_OUT", os.path.join(_REPO, "flowmur_seed_study_r4.jsonl"))
+OUT = os.environ.get("STUDY_OUT", common.repo_path("flowmur_seed_study_r4.jsonl"))
 
 
 def one_run(fused: str, seed: int) -> dict:
@@ -89,9 +79,7 @@ def main():
                 continue
             row = one_run(fused, seed)
             rows.append(row)
-            print(json.dumps(row), flush=True)
-            with open(OUT, "a") as f:
-                f.write(json.dumps(row) + "\n")
+            common.append_row(OUT, row)
     for fused in ("off", "on"):
         arm = [r["asr_final"] for r in rows if r["fused"] == fused]
         print(f"# fused={fused}: final ASR mean {np.mean(arm):.1f} "

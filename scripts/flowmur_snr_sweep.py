@@ -16,21 +16,13 @@ Run on the TPU fixture:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/flowmur_snr_sweep.py
 """
 
-import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from audiobd_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache("auto")
-
-import jax  # noqa: E402
-
-if os.environ.get("AUDIOBD_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["AUDIOBD_PLATFORM"])
+import _flowmur_common as common  # noqa: E402  (fixture preamble side effects)
 
 from audiobd_tpu.configs import make_config  # noqa: E402
 from audiobd_tpu.data.speech_commands import make_synthetic_clean_data  # noqa: E402
@@ -39,8 +31,7 @@ from audiobd_tpu.train.trainer import train_attack  # noqa: E402
 
 SEED = int(os.environ.get("SWEEP_SEED", "36"))
 SNRS = [int(s) for s in os.environ.get("SWEEP_SNRS", "20,10,5").split(",")]
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("SWEEP_OUT", os.path.join(_REPO, "flowmur_snr_sweep_r5.jsonl"))
+OUT = os.environ.get("SWEEP_OUT", common.repo_path("flowmur_snr_sweep_r5.jsonl"))
 
 
 def one_run(snr_db: int) -> dict:
@@ -72,21 +63,12 @@ def one_run(snr_db: int) -> dict:
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                if line.strip():
-                    r = json.loads(line)
-                    done.add((r["seed"], r["snr_db"]))
+    done = common.done_rows(OUT, ("seed", "snr_db"))
     for snr in SNRS:
         if (SEED, snr) in done:
             print(f"snr {snr}: already recorded, skipping", file=sys.stderr)
             continue
-        row = one_run(snr)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(row) + "\n")
-        print(json.dumps(row))
+        common.append_row(OUT, one_run(snr))
 
 
 if __name__ == "__main__":

@@ -156,3 +156,27 @@ def test_select_trigger_probe_path(setup):
         for r in range(2)
     ]
     assert any(np.array_equal(trig, c) for c in cands)
+
+
+def test_promote_snapshots(tmp_path):
+    """The winning restart's suffixed sp_trigger snapshots are copied to the
+    canonical names (reference-parity artifact,
+    utils/flowmur_generate_trigger.py:112-116); other restarts' stay put."""
+    snap = tmp_path / "poisoning_record"
+    snap.mkdir()
+    for r, val in ((0, 0.0), (1, 1.0), (2, 2.0)):
+        suffix = "" if r == 0 else f"_r{r}"
+        for epoch in (100, 200):
+            np.save(snap / f"sp_trigger{epoch}{suffix}.npy", np.full((1, 4), val))
+    flowmur._promote_snapshots(str(snap), best_r=2)
+    for epoch in (100, 200):
+        np.testing.assert_array_equal(
+            np.load(snap / f"sp_trigger{epoch}.npy"), np.full((1, 4), 2.0)
+        )
+        # provenance files untouched
+        np.testing.assert_array_equal(
+            np.load(snap / f"sp_trigger{epoch}_r1.npy"), np.full((1, 4), 1.0)
+        )
+    # restart 0 winning is a no-op by construction (canonical names already
+    # written by suffix ""); missing dir is a no-op too:
+    flowmur._promote_snapshots(str(tmp_path / "absent"), best_r=1)
