@@ -508,9 +508,12 @@ def _replay_last_capture(candidates=None) -> bool:
     import re
 
     if candidates is None:
+        here = os.path.dirname(os.path.abspath(__file__))
         candidates = [
             os.path.join(os.environ.get("LOGDIR", "/tmp/r4_campaign"), "bench.log"),
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "CAMPAIGN_r4.md"),
+            # committed round-5 live-TPU capture (session-3 recovery re-run)
+            os.path.join(here, "record", "bench_r5_session3_recovery.json"),
+            os.path.join(here, "CAMPAIGN_r4.md"),
         ]
     for path in candidates:
         try:
